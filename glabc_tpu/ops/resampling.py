@@ -1,0 +1,74 @@
+"""Fixed-shape, vectorized resampling primitives.
+
+These replace the reference's Python-loop resamplers with XLA-friendly,
+branch-free formulations:
+
+* ``weight_sampling`` (reference ``GLMCMC.py:7-22``) — an O(B) Python
+  inverse-CDF loop that can return ``None`` on floating-point shortfall —
+  becomes :func:`categorical_from_log_weights` (Gumbel-max), which needs no
+  normalization, handles ``-inf``/NaN weights as zero mass, and vectorizes
+  over chains.
+* ``resample`` (reference ``GLMCMC_NFs.py:29-40`` / ``AGLMCMC.py:30-41``) —
+  a Python-loop systematic resampler — becomes :func:`systematic_resample`
+  via ``searchsorted(cumsum(w), (u + arange(N)) / N)``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "sanitize_log_weights",
+    "categorical_from_log_weights",
+    "categorical_from_weights",
+    "systematic_resample",
+]
+
+
+def sanitize_log_weights(log_w: jnp.ndarray) -> jnp.ndarray:
+    """Map NaN log-weights to ``-inf`` (zero mass).
+
+    Mirrors the reference's ``weight[isnan(weight)] = 0`` hygiene
+    (``GLMCMC.py:80-81``) in log space.
+    """
+    return jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
+
+
+def categorical_from_log_weights(key, log_w: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Draw one index proportional to ``exp(log_w)`` via the Gumbel-max trick.
+
+    Unnormalized log-weights are fine; NaNs count as zero mass.  If every
+    weight is zero the draw degenerates to index 0 — which in the iSIR
+    samplers is the "keep current state" slot, matching the reference's
+    ``ind is None -> stay`` convention (``GLMCMC.py:84``).
+    """
+    log_w = sanitize_log_weights(log_w)
+    g = jax.random.gumbel(key, log_w.shape, dtype=jnp.float32)
+    score = jnp.where(jnp.isneginf(log_w), -jnp.inf, log_w + g)
+    return jnp.argmax(score, axis=axis)
+
+
+def categorical_from_weights(key, w: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Like :func:`categorical_from_log_weights` but on linear weights."""
+    w = jnp.where(jnp.isnan(w) | (w < 0), 0.0, w)
+    log_w = jnp.where(w > 0, jnp.log(jnp.where(w > 0, w, 1.0)), -jnp.inf)
+    return categorical_from_log_weights(key, log_w, axis=axis)
+
+
+def systematic_resample(key, w: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Systematic (stratified, common-uniform) resampling.
+
+    Returns ``num_samples`` indices into ``w`` such that index ``j`` appears
+    ``#{i : cumsum(w)[j-1] <= u_i < cumsum(w)[j]}`` times with
+    ``u_i = (u + i) / N``, ``u ~ U[0,1)`` — identical counts to the reference
+    resampler (``GLMCMC_NFs.py:29-40``), computed as one ``searchsorted``.
+
+    ``w`` must be (approximately) normalized; NaNs are treated as 0.
+    """
+    w = jnp.where(jnp.isnan(w) | (w < 0), 0.0, w)
+    c = jnp.cumsum(w, axis=-1)
+    u0 = jax.random.uniform(key, (), dtype=w.dtype)
+    u = (u0 + jnp.arange(num_samples, dtype=w.dtype)) / num_samples
+    idx = jnp.searchsorted(c, u, side="right")
+    return jnp.clip(idx, 0, w.shape[-1] - 1)

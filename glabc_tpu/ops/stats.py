@@ -1,0 +1,111 @@
+"""Chain diagnostics and weighted statistics.
+
+Parity targets:
+
+* :func:`esjd` — reference ``ESJD.py:2-25`` (generalized-variance ESJD).
+* :func:`weighted_std` — reference ``kernel_density.py:39-68`` (weighted
+  unbiased standard deviation with the ``1 - sum(w^2)`` correction).
+* :func:`chain_summary` — the per-dimension mean / variance / 95% CI report
+  every reference sampler prints (e.g. ``GLMCMC.py:113-135``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["esjd", "esjd_per_second", "weighted_std", "chain_summary", "ChainSummary"]
+
+
+def esjd(chain: jnp.ndarray) -> jnp.ndarray:
+    """Expected squared jump distance as a generalized variance.
+
+    ``det(delta^T delta / (N-1)) ** (1/d)`` over consecutive jumps
+    ``delta = chain[1:] - chain[:-1]`` — the reference formula
+    (``ESJD.py:17-24``).  Accepts ``(N, d)`` or batched ``(..., N, d)``;
+    batched input returns one ESJD per leading index.
+    """
+    chain = jnp.asarray(chain)
+    delta = chain[..., 1:, :] - chain[..., :-1, :]
+    n = delta.shape[-2]
+    d = delta.shape[-1]
+    m = jnp.einsum("...nd,...ne->...de", delta, delta) / n
+    det = jnp.linalg.det(m)
+    return jnp.sign(det) * jnp.abs(det) ** (1.0 / d)
+
+
+def esjd_per_second(chain: jnp.ndarray, wallclock_s: float, num_ite: int) -> jnp.ndarray:
+    """The reference's hyperparameter-selection score:
+    ``esjd(chain) / (wallclock / num_ite)`` (``Mixture_hyper.py:36-37``)."""
+    return esjd(chain) / (wallclock_s / num_ite)
+
+
+def weighted_std(x: jnp.ndarray, weights: jnp.ndarray, unbiased: bool = True,
+                 axis: int = 0) -> jnp.ndarray:
+    """Weighted standard deviation with reliability-weight bias correction.
+
+    Matches reference ``kernel_density.weighted_std`` (``:39-68``):
+    normalize weights, weighted mean/variance, and for ``unbiased`` divide by
+    ``clamp(1 - sum(w^2), min=1e-10)``.
+    """
+    w = weights / jnp.sum(weights)
+    w_ex = jnp.expand_dims(w, axis=-1) if x.ndim > w.ndim else w
+    mean = jnp.sum(w_ex * x, axis=axis)
+    diff = x - mean
+    var = jnp.sum(w_ex * jnp.square(diff), axis=axis)
+    if unbiased:
+        correction = jnp.clip(1.0 - jnp.sum(jnp.square(w)), min=1e-10)
+        var = var / correction
+    return jnp.sqrt(var)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainSummary:
+    mean: jnp.ndarray       # (d,)
+    variance: jnp.ndarray   # (d,)
+    ci_lower: jnp.ndarray   # (d,)
+    ci_upper: jnp.ndarray   # (d,)
+    esjd: Optional[jnp.ndarray] = None
+    acceptance_rate: Optional[float] = None
+
+    def render(self) -> str:
+        lines = []
+        for i in range(self.mean.shape[0]):
+            lines.append(f"Theta_Re {i + 1}:")
+            lines.append(f"  Mean: {float(self.mean[i]):.4f}")
+            lines.append(f"  Variance: {float(self.variance[i]):.4f}")
+            lines.append(
+                "  95% Confidence Interval: "
+                f"({float(self.ci_lower[i]):.4f}, {float(self.ci_upper[i]):.4f})"
+            )
+        if self.esjd is not None:
+            lines.append(f"ESJD: {float(self.esjd):.6g}")
+        if self.acceptance_rate is not None:
+            lines.append(f"Acceptance rate: {float(self.acceptance_rate):.4f}")
+        return "\n".join(lines)
+
+
+def chain_summary(chain: jnp.ndarray, acceptance_rate=None,
+                  with_esjd: bool = False) -> ChainSummary:
+    """Per-dimension mean / variance / z=1.96 95% CI, pooled over all leading
+    axes (chains x time).  Variance uses the unbiased estimator to match
+    ``torch.var`` in the reference report (``GLMCMC.py:113-127``)."""
+    chain = jnp.asarray(chain)
+    d = chain.shape[-1]
+    flat = chain.reshape(-1, d)
+    mean = jnp.mean(flat, axis=0)
+    var = jnp.var(flat, axis=0, ddof=1)
+    std = jnp.sqrt(var)
+    z = 1.96
+    ej = esjd(flat) if with_esjd else None
+    return ChainSummary(
+        mean=mean,
+        variance=var,
+        ci_lower=mean - z * std,
+        ci_upper=mean + z * std,
+        esjd=ej,
+        acceptance_rate=acceptance_rate,
+    )

@@ -1,0 +1,21 @@
+from .base import MoveCounts, SamplerResult, StepOut, isir_move, local_rw_move
+from .chain import ChainCarry, init_chain_carry, sample_with_step
+from .global_mcmc import GlobalMCMCConfig, build_global_mcmc_step, run_global_mcmc
+from .glmcmc import GLMCMCConfig, build_glmcmc_step, run_glmcmc
+
+__all__ = [
+    "MoveCounts",
+    "SamplerResult",
+    "StepOut",
+    "isir_move",
+    "local_rw_move",
+    "ChainCarry",
+    "init_chain_carry",
+    "sample_with_step",
+    "GlobalMCMCConfig",
+    "build_global_mcmc_step",
+    "run_global_mcmc",
+    "GLMCMCConfig",
+    "build_glmcmc_step",
+    "run_glmcmc",
+]

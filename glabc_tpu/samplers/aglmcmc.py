@@ -1,0 +1,286 @@
+"""AGLMCMC: adaptive global proposal (weighted KDE) with epsilon-annealing.
+
+Capability parity with reference ``glabcmcmc/AGLMCMC.py:44-289``:
+
+* global moves are iSIR over a precomputed proposal *pool*, consuming one
+  ``batch_size`` slice per move (``AGLMCMC.py:130-164``);
+* every ``step_size`` consumed slices, an adaptation epoch (``:170-249``):
+  (1) anneal the auxiliary threshold ``hat_eps`` from 1e6 toward
+  ``hat_eps_T`` by the quantile rule
+  ``q = clamp(alpha * #{dis < hat_eps} / n, 0, 1)``,
+  ``hat_eps = max(quantile(dis, q), hat_eps_T)``;
+  (2) recompute *training* weights with the kernel at ``hat_eps`` (the chain
+  itself always targets the true epsilon — pool MCMC weights use the target
+  kernel, ``AGLMCMC.py:104``);
+  (3) fit a weighted Silverman KDE on the pool;
+  (4) draw a 4x-oversampled new pool from the KDE, keep prior-supported
+  samples (``prior_log_prob > log(1e-10)``), re-simulate and re-weight.
+
+TPU-first redesign:
+
+* one pool per chain, shape ``(C, step_size * batch_size, ...)``, carried
+  across fixed-length scan segments; the pool cursor ``kk`` advances on
+  global moves and wraps modulo ``step_size`` (with the canonical
+  ``global_frequency = 1`` a segment of ``step_size`` steps consumes each
+  pool exactly once, reproducing the reference epoch boundary exactly);
+* the reference's dynamic "keep first N valid KDE samples" gather
+  (``AGLMCMC.py:220-229``) becomes a stable argsort on the invalid mask —
+  fixed shapes, valid rows first;
+* NaN discrepancies are masked to ``1e6 - 5`` *per element* — the
+  reference's ``torch.all``-reduced mask (``AGLMCMC.py:100``) is a scalar
+  no-op unless every entry is NaN (SURVEY quirk 2);
+* the chain buffer is sized by ``num_ite`` and the full chain is returned —
+  the reference hardcodes a 10,000-row buffer and returns ``None``
+  (``AGLMCMC.py:117``, SURVEY quirk 1);
+* the epoch update is the collective hook for multi-chip runs: with a
+  shared adaptation the pools are all-gathered and the quantile computed
+  globally (see ``glabc_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.kde import KernelDensity
+from ..ops.resampling import categorical_from_log_weights
+from .base import MoveCounts, SamplerResult, StepOut, local_rw_move
+from .chain import init_chain_carry
+
+__all__ = ["AGLMCMCConfig", "run_aglmcmc", "AGLResult"]
+
+_NAN_DIS = 1.0e6 - 5.0  # reference sentinel for NaN discrepancies (:101)
+_PRIOR_CUTOFF = float(np.log(1e-10))  # reference KDE prior filter (:224)
+
+
+@dataclasses.dataclass(frozen=True)
+class AGLMCMCConfig:
+    global_frequency: float = 1.0
+    batch_size: int = 5
+    step_size: int = 200
+    alpha: float = 0.8
+    hat_eps_T: float = 0.2
+    oversample: int = 4           # reference 4x (AGLMCMC.py:220)
+    support_retries: int = 0
+
+
+class Pool(NamedTuple):
+    """Per-chain proposal pool (leading axis = pool slot)."""
+
+    theta: jnp.ndarray       # (P, d)
+    x: jnp.ndarray           # (P, d_y)
+    dis: jnp.ndarray         # (P,) — NaNs already masked to the sentinel
+    log_q: jnp.ndarray       # (P,) proposal log-density at draw time
+    log_w: jnp.ndarray       # (P,) MCMC log-weight at the *target* epsilon
+
+
+class AGLCarry(NamedTuple):
+    theta: jnp.ndarray
+    y: jnp.ndarray
+    log_kernel: jnp.ndarray
+    kk: jnp.ndarray          # pool cursor (consumed slices this epoch)
+    key: jnp.ndarray
+    counts: MoveCounts
+
+
+def _pool_from_proposals(problem, key, theta_prop, log_q):
+    """Simulate + weight a pool of proposals (``AGLMCMC.py:84-112``)."""
+    nan_row = jnp.any(jnp.isnan(theta_prop), axis=-1)
+    theta_safe = jnp.where(nan_row[:, None], 0.0, theta_prop)
+    x = problem.simulate(key, theta_safe)
+    dis = problem.discrepancy(x)
+    dis = jnp.where(jnp.isnan(dis) | nan_row, _NAN_DIS, dis)
+    log_k = problem.kernel_log_prob(dis)  # target epsilon (:104)
+    log_w = problem.prior_log_prob(theta_prop) + log_k - log_q
+    log_w = jnp.where(nan_row | jnp.isnan(log_w), -jnp.inf, log_w)
+    return Pool(theta=theta_safe, x=x, dis=dis, log_q=log_q, log_w=log_w)
+
+
+def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps):
+    """One adaptation epoch for one chain -> (new_pool, kde, new_hat_eps)."""
+    P = pool.theta.shape[0]
+    k_sample, k_sim = jax.random.split(key)
+
+    # (1) epsilon annealing (:174-196)
+    def anneal(eps):
+        num_a = jnp.sum(pool.dis < eps)
+        q = jnp.clip(cfg.alpha * num_a / P, 0.0, 1.0)
+        new_eps = jnp.quantile(pool.dis, q)
+        return jnp.maximum(new_eps, cfg.hat_eps_T)
+
+    hat_eps = jnp.where(hat_eps > cfg.hat_eps_T, anneal(hat_eps), hat_eps)
+
+    # (2) training weights at hat_eps (:199-204)
+    train_log_k = problem.kernel_log_prob(pool.dis, hat_eps)
+    train_log_w = (
+        problem.prior_log_prob(pool.theta) + train_log_k - pool.log_q
+    )
+    train_w = jnp.exp(train_log_w)
+    train_w = jnp.where(jnp.isnan(train_w), 0.0, train_w)
+
+    # (3) weighted Silverman KDE on positive-weight pool rows (:207-215);
+    # zero-weight rows are masked out inside fit.
+    kde = KernelDensity.fit(pool.theta, train_w, bandwidth="silverman")
+
+    # (4) oversampled redraw + prior-support filter (:220-229)
+    cand = kde.sample(k_sample, cfg.oversample * P)
+    ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
+    order = jnp.argsort(~ok, stable=True)          # valid rows first
+    new_theta = cand[order[:P]]
+    new_log_q = kde.log_prob(new_theta)
+    new_pool = _pool_from_proposals(problem, k_sim, new_theta, new_log_q)
+    return new_pool, kde, hat_eps
+
+
+def _build_step(problem, local_proposal, initial_proposal, cfg: AGLMCMCConfig,
+                use_kde: bool):
+    """Transition kernel for one segment.  ``use_kde`` is static: False for
+    the first epoch (current-state density from the initial iSIR proposal,
+    ``AGLMCMC.py:137-140``), True afterwards."""
+    gf = cfg.global_frequency
+    B = cfg.batch_size
+
+    def step(pool: Pool, kde, carry: AGLCarry, _):
+        key, k_coin, k_move = jax.random.split(carry.key, 3)
+        is_global = jax.random.uniform(k_coin, ()) < gf
+
+        def do_global(k):
+            start = (carry.kk % cfg.step_size) * B
+            th_slice = jax.lax.dynamic_slice_in_dim(pool.theta, start, B)
+            x_slice = jax.lax.dynamic_slice_in_dim(pool.x, start, B)
+            dis_slice = jax.lax.dynamic_slice_in_dim(pool.dis, start, B)
+            logw_slice = jax.lax.dynamic_slice_in_dim(pool.log_w, start, B)
+
+            if use_kde:
+                log_q_old = kde.log_prob(carry.theta)
+            else:
+                log_q_old = initial_proposal.log_prob(carry.theta)
+            log_w_old = (
+                problem.prior_log_prob(carry.theta) + carry.log_kernel - log_q_old
+            )
+            log_w = jnp.concatenate([log_w_old[None], logw_slice])
+            ind = categorical_from_log_weights(k, log_w)
+            thetas = jnp.concatenate([carry.theta[None], th_slice])
+            ys = jnp.concatenate([carry.y[None], x_slice])
+            lks = jnp.concatenate(
+                [carry.log_kernel[None], problem.kernel_log_prob(dis_slice)]
+            )
+            return thetas[ind], ys[ind], lks[ind], ind != 0, carry.kk + 1
+
+        def do_local(k):
+            theta, y, lk, acc = local_rw_move(
+                problem, local_proposal, k, carry.theta, carry.y,
+                carry.log_kernel, cfg.support_retries,
+            )
+            return theta, y, lk, acc, carry.kk
+
+        theta, y, lk, accepted, kk = jax.lax.cond(
+            is_global, do_global, do_local, k_move
+        )
+        counts = carry.counts.update(is_global, accepted)
+        new_carry = AGLCarry(theta, y, lk, kk, key, counts)
+        return new_carry, StepOut(theta, accepted, is_global)
+
+    return step
+
+
+@dataclasses.dataclass
+class AGLResult(SamplerResult):
+    kde: Optional[KernelDensity] = None      # batched over chains
+    hat_eps: Optional[np.ndarray] = None     # (C,) final thresholds
+    hat_eps_hist: Optional[np.ndarray] = None  # (epochs, C)
+
+
+def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
+                initial_isir_proposal, global_frequency=1.0, batch_size=5,
+                step_size=200, alpha=0.8, hat_eps_T=0.2, y0=None,
+                num_chains: int = 1, on_segment=None, oversample: int = 4,
+                support_retries: int = 0) -> AGLResult:
+    cfg = AGLMCMCConfig(global_frequency, batch_size, step_size, alpha,
+                        hat_eps_T, oversample, support_retries)
+    P = batch_size * step_size
+    C = num_chains
+    key = jnp.asarray(key)
+    k_chain, k_pool, k_loop = jax.random.split(key, 3)
+
+    # initial chain state
+    cc = init_chain_carry(problem, k_chain, theta0, y0, num_chains)
+    carry = AGLCarry(cc.theta, cc.y, cc.log_kernel,
+                     jnp.zeros((C,), jnp.int32), cc.key, cc.counts)
+    theta_init = np.asarray(carry.theta)[:, None, :]
+
+    # initial per-chain pools from the parametric iSIR proposal (:84-112)
+    @jax.jit
+    def init_pools(k):
+        def one(kk):
+            k1, k2 = jax.random.split(kk)
+            th, log_q = initial_isir_proposal.forward(k1, P)
+            return _pool_from_proposals(problem, k2, th, log_q)
+        return jax.vmap(one)(jax.random.split(k, C))
+
+    pools = init_pools(k_pool)
+
+    # placeholder KDE (uniform weights over the initial pool) so the first
+    # segment's step signature matches later ones; it is unused (use_kde=False)
+    kdes = jax.vmap(lambda th: KernelDensity.fit(th))(pools.theta)
+
+    epoch_fn = jax.jit(
+        jax.vmap(
+            functools.partial(_epoch_update, problem, cfg),
+            in_axes=(0, 0, 0),
+        )
+    )
+
+    def make_segment(use_kde: bool):
+        step = _build_step(problem, local_proposal, initial_isir_proposal,
+                           cfg, use_kde)
+        batched = jax.vmap(step, in_axes=(0, 0, 0, None))
+
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def segment(pool_, kde_, carry_, length):
+            return jax.lax.scan(
+                functools.partial(batched, pool_, kde_), carry_, None,
+                length=length,
+            )
+        return segment
+
+    seg_first = make_segment(False)
+    seg_rest = make_segment(True)
+
+    seg_len = (
+        max(1, int(round(step_size / global_frequency)))
+        if global_frequency > 0 else (num_ite - 1)
+    )
+    hat_eps = jnp.full((C,), 1.0e6, jnp.float32)
+    hat_eps_hist = []
+    blocks = []
+    done = 0
+    total = num_ite - 1
+    n_epochs = 0
+    while done < total:
+        take = min(seg_len, total - done)
+        seg = seg_first if n_epochs == 0 else seg_rest
+        carry, outs = seg(pools, kdes, carry, take)
+        blocks.append(np.moveaxis(np.asarray(outs.theta), 0, 1))
+        if on_segment is not None:
+            on_segment(blocks[-1], done)
+        done += take
+        if done < total:
+            k_loop, k_ep = jax.random.split(k_loop)
+            pools, kdes, hat_eps = epoch_fn(
+                jax.random.split(k_ep, C), pools, hat_eps
+            )
+            hat_eps_hist.append(np.asarray(hat_eps))
+            n_epochs += 1
+
+    thetas = np.concatenate([theta_init] + blocks, axis=1)
+    return AGLResult(
+        thetas=thetas, counts=carry.counts, final_carry=carry,
+        kde=kdes, hat_eps=np.asarray(hat_eps),
+        hat_eps_hist=np.asarray(hat_eps_hist) if hat_eps_hist else None,
+    )

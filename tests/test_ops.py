@@ -1,0 +1,116 @@
+"""Tests for resampling primitives and chain statistics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glabc_tpu.ops import (
+    categorical_from_log_weights,
+    categorical_from_weights,
+    chain_summary,
+    esjd,
+    systematic_resample,
+)
+
+KEY = jax.random.PRNGKey(11)
+
+
+class TestCategorical:
+    def test_distribution_matches_weights(self):
+        logw = jnp.log(jnp.array([0.1, 0.6, 0.3]))
+        keys = jax.random.split(KEY, 50_000)
+        idx = jax.vmap(lambda k: categorical_from_log_weights(k, logw))(keys)
+        counts = np.bincount(np.asarray(idx), minlength=3) / 50_000
+        np.testing.assert_allclose(counts, [0.1, 0.6, 0.3], atol=0.01)
+
+    def test_nan_and_neginf_are_zero_mass(self):
+        logw = jnp.array([jnp.nan, -jnp.inf, 0.0])
+        keys = jax.random.split(KEY, 200)
+        idx = jax.vmap(lambda k: categorical_from_log_weights(k, logw))(keys)
+        assert np.all(np.asarray(idx) == 2)
+
+    def test_all_zero_mass_returns_zero(self):
+        """All-zero weights -> index 0 (= 'keep current state' slot), matching
+        the reference weight_sampling None -> stay convention."""
+        logw = jnp.array([-jnp.inf, -jnp.inf, jnp.nan])
+        assert int(categorical_from_log_weights(KEY, logw)) == 0
+
+    def test_linear_weights(self):
+        w = jnp.array([0.0, 2.0, 0.0, 2.0])
+        keys = jax.random.split(KEY, 20_000)
+        idx = jax.vmap(lambda k: categorical_from_weights(k, w))(keys)
+        counts = np.bincount(np.asarray(idx), minlength=4) / 20_000
+        np.testing.assert_allclose(counts, [0.0, 0.5, 0.0, 0.5], atol=0.015)
+
+
+class TestSystematicResample:
+    def _ref_resample(self, W, N, u0):
+        """Reference resample (GLMCMC_NFs.py:29-40) in numpy."""
+        n_re = np.zeros(len(W), dtype=int)
+        u = (u0 + np.arange(N)) / N
+        Psum = np.cumsum(W)
+        i = 0
+        for j in range(len(W)):
+            while i < N and Psum[j] > u[i]:
+                i += 1
+                n_re[j] += 1
+        return np.repeat(np.arange(len(W)), n_re)
+
+    def test_counts_match_reference_loop(self):
+        rng = np.random.RandomState(0)
+        for trial in range(5):
+            w = rng.rand(20)
+            w = w / w.sum()
+            key = jax.random.PRNGKey(trial)
+            idx = np.asarray(systematic_resample(key, jnp.asarray(w), 64))
+            u0 = float(jax.random.uniform(key, ()))
+            expected = self._ref_resample(w, 64, u0)
+            np.testing.assert_array_equal(np.sort(idx), np.sort(expected))
+
+    def test_uniform_weights_resample_everything(self):
+        w = jnp.full((16,), 1.0 / 16)
+        idx = np.asarray(systematic_resample(KEY, w, 16))
+        np.testing.assert_array_equal(np.sort(idx), np.arange(16))
+
+    def test_point_mass(self):
+        w = jnp.array([0.0, 0.0, 1.0, 0.0])
+        idx = np.asarray(systematic_resample(KEY, w, 8))
+        assert np.all(idx == 2)
+
+
+class TestESJD:
+    def _ref_esjd(self, data):
+        """Reference ESJD.py:2-25 in numpy."""
+        delta = data[1:] - data[:-1]
+        re = delta.T @ delta / (len(data) - 1)
+        return np.linalg.det(re) ** (1.0 / data.shape[1])
+
+    def test_matches_reference_formula(self):
+        rng = np.random.RandomState(3)
+        data = rng.randn(500, 2).astype(np.float32)
+        np.testing.assert_allclose(
+            float(esjd(jnp.asarray(data))), self._ref_esjd(data), rtol=2e-3
+        )
+
+    def test_batched(self):
+        rng = np.random.RandomState(4)
+        data = rng.randn(3, 200, 2).astype(np.float32)
+        got = np.asarray(esjd(jnp.asarray(data)))
+        expected = np.array([self._ref_esjd(data[i]) for i in range(3)])
+        np.testing.assert_allclose(got, expected, rtol=1e-3)
+
+    def test_constant_chain_is_zero(self):
+        data = jnp.ones((100, 2))
+        assert abs(float(esjd(data))) < 1e-10
+
+
+def test_chain_summary():
+    rng = np.random.RandomState(5)
+    chain = rng.randn(1000, 2).astype(np.float32) + np.array([1.0, -1.0])
+    s = chain_summary(jnp.asarray(chain))
+    np.testing.assert_allclose(np.asarray(s.mean), [1.0, -1.0], atol=0.12)
+    np.testing.assert_allclose(np.asarray(s.variance), [1.0, 1.0], atol=0.15)
+    np.testing.assert_allclose(
+        np.asarray(s.ci_upper - s.ci_lower), 2 * 1.96 * np.sqrt(s.variance), rtol=1e-5
+    )
+    assert "Mean" in s.render()
