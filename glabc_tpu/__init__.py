@@ -18,11 +18,29 @@ from .models import (
     MixtureProblem,
     Uniform,
 )
+from .models.flows import CouplingFlow
 from .ops import chain_summary, esjd, esjd_per_second
+from .runner import MCMCRunner
+from .samplers.aglmcmc import run_aglmcmc
+from .samplers.glmala import run_glmala
+from .samplers.glmcmc import run_glmcmc
+from .samplers.glmcmc_nf import run_glmcmc_nf
+from .samplers.global_mcmc import run_global_mcmc
+from .utils import ChainWriter, load_carry, save_carry
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "MCMCRunner",
+    "CouplingFlow",
+    "ChainWriter",
+    "load_carry",
+    "save_carry",
+    "run_global_mcmc",
+    "run_glmcmc",
+    "run_glmala",
+    "run_glmcmc_nf",
+    "run_aglmcmc",
     "ABCProblem",
     "DiagGaussian",
     "Gamma",

@@ -134,8 +134,10 @@ class CouplingFlow:
 
         leaves = (self.stack.w0, self.stack.b0, self.stack.w1,
                   self.stack.b1, self.stack.w2, self.stack.b2)
+        # zeros_like(log_p) (not zeros(n)) so the accumulator inherits the
+        # device-varying type under shard_map
         (x, s_total), _ = jax.lax.scan(
-            body, (z, jnp.zeros(num_samples)), leaves
+            body, (z, jnp.zeros_like(log_p)), leaves
         )
         return x, log_p - s_total
 
@@ -156,7 +158,7 @@ class CouplingFlow:
         leaves = (self.stack.w0, self.stack.b0, self.stack.w1,
                   self.stack.b1, self.stack.w2, self.stack.b2)
         (z, s_total), _ = jax.lax.scan(
-            body, (x, jnp.zeros(x.shape[0])), leaves, reverse=True
+            body, (x, jnp.zeros_like(x[:, 0])), leaves, reverse=True
         )
         out = self.base.log_prob(z) - s_total
         return out[0] if squeeze else out

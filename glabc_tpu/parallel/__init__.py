@@ -1,0 +1,27 @@
+from .mesh import (
+    CHAIN_AXIS,
+    chain_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicated_sharding,
+    shard_chains,
+)
+from .sharded import (
+    distributed_quantile,
+    make_sharded_flow_trainer,
+    sharded_hat_eps_update,
+    sharded_sample,
+)
+
+__all__ = [
+    "CHAIN_AXIS",
+    "chain_sharding",
+    "initialize_distributed",
+    "make_mesh",
+    "replicated_sharding",
+    "shard_chains",
+    "distributed_quantile",
+    "make_sharded_flow_trainer",
+    "sharded_hat_eps_update",
+    "sharded_sample",
+]

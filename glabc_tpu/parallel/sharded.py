@@ -1,0 +1,169 @@
+"""Sharded (multi-chip / multi-host) execution paths.
+
+The chain axis is sharded over the mesh (``mesh.py``).  Three kinds of code
+run here:
+
+1. :func:`sharded_sample` — run any batched transition kernel with the carry
+   sharded over the mesh.  The kernels are elementwise over chains, so XLA
+   partitions the scan without inserting collectives; this is the weak-scaling
+   path (C chains/device x N devices).
+2. :func:`make_sharded_flow_trainer` — data-parallel GLMCMC-NF proposal
+   refit: each device draws and weighs its own shard of the training pool,
+   computes flow gradients, and the gradients are ``pmean``-ed over ICI so
+   every device applies the identical Adam update (the distributed analogue
+   of ``GLMCMC_NFs.py:114-124``).
+3. :func:`distributed_quantile` / :func:`sharded_hat_eps_update` — the
+   AGLMCMC epsilon-annealing quantile (``AGLMCMC.py:174-196``) computed over
+   the *global* pool via an ``all_gather`` of per-device discrepancy shards,
+   for shared (cross-chain) adaptation.
+
+All of these are exercised on a fake 8-device CPU mesh in CI
+(``tests/test_parallel.py``) per SURVEY §4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.resampling import systematic_resample
+from .mesh import CHAIN_AXIS, chain_sharding, shard_chains
+
+__all__ = [
+    "sharded_sample",
+    "make_sharded_flow_trainer",
+    "distributed_quantile",
+    "sharded_hat_eps_update",
+]
+
+
+def sharded_sample(batched_step: Callable, carry, num_steps: int, mesh,
+                   segment_size: int = 10_000,
+                   on_segment: Optional[Callable] = None):
+    """Run a chain-batched ``step`` with the carry sharded over ``mesh``.
+
+    ``carry`` leaves must have a leading chain axis divisible by the mesh
+    size.  Returns ``(final_carry, thetas (C, T, d) on host)``.
+    """
+    carry = shard_chains(carry, mesh)
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def seg(c, length):
+        return jax.lax.scan(batched_step, c, None, length=length)
+
+    blocks = []
+    done = 0
+    while done < num_steps:
+        take = min(segment_size, num_steps - done)
+        carry, outs = seg(carry, take)
+        block = np.moveaxis(np.asarray(outs.theta), 0, 1)
+        if on_segment is not None:
+            on_segment(block, done)
+        blocks.append(block)
+        done += take
+    thetas = np.concatenate(blocks, axis=1) if blocks else None
+    return carry, thetas
+
+
+def make_sharded_flow_trainer(problem, cfg, optimizer, mesh):
+    """Data-parallel version of
+    :func:`glabc_tpu.samplers.glmcmc_nf.make_flow_trainer`.
+
+    Each device draws ``pool_n / n_devices`` flow proposals, simulates and
+    weighs them locally, systematically resamples its local shard, computes
+    the forward-KLD gradient on the shard, and gradients are averaged with
+    ``pmean`` over the mesh (ICI).  The flow and optimizer state stay
+    replicated; updates are bitwise identical across devices.
+
+    Returns ``train(flow, opt_state, key) -> (flow, opt_state, loss)``.
+    """
+    n_dev = mesh.devices.size
+    pool_n = cfg.batch_size * cfg.step_size
+    local_n = max(1, pool_n // n_dev)
+
+    def worker(flow, opt_state, keys):
+        key = keys[0]
+        k_sample, k_sim, k_res = jax.random.split(key, 3)
+        pool, log_q = flow.forward(k_sample, local_n)
+        nan_row = jnp.any(jnp.isnan(pool), axis=-1)
+        pool_safe = jnp.where(nan_row[:, None], 0.0, pool)
+        x = problem.simulate(k_sim, pool_safe)
+        log_w = (
+            problem.prior_log_prob(pool)
+            + problem.kernel_log_prob(problem.discrepancy(x))
+            - log_q
+        )
+        w = jnp.exp(log_w)
+        w = jnp.where(nan_row | jnp.isnan(w), 0.0, w)
+        w = w / jnp.sum(w)
+        idx = systematic_resample(k_res, w, local_n)
+        train_t = jax.lax.stop_gradient(pool_safe[idx])
+
+        loss, grads = jax.value_and_grad(lambda f: f.forward_kld(train_t))(flow)
+        # combine across devices over ICI
+        loss = jax.lax.pmean(loss, CHAIN_AXIS)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, CHAIN_AXIS), grads
+        )
+        good = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(good, jnp.nan_to_num(g), 0.0), grads
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, flow)
+        new_flow = optax.apply_updates(flow, updates)
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda u, v: jnp.where(good, u, v), a, b
+        )
+        return sel(new_flow, flow), sel(new_opt_state, opt_state), loss
+
+    # check_vma=False: the outputs are replicated by construction (grads and
+    # loss are pmean'd before the update), which the varying-axis checker
+    # cannot infer through optax's update.
+    sharded = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(), P(CHAIN_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train(flow, opt_state, key):
+        keys = jax.random.split(key, n_dev)
+        return sharded(flow, opt_state, keys)
+
+    return train
+
+
+def distributed_quantile(x_local, q, axis_name: str = CHAIN_AXIS):
+    """Quantile of the global array whose per-device shard is ``x_local``.
+
+    all_gathers the shards over ICI and takes ``jnp.quantile`` — exact (the
+    pools here are ~10^3-10^5 elements, far below the sketching threshold).
+    Call inside ``shard_map``.
+    """
+    x_global = jax.lax.all_gather(x_local, axis_name).reshape(-1)
+    return jnp.quantile(x_global, q)
+
+
+def sharded_hat_eps_update(problem_unused, alpha, hat_eps_T):
+    """Build the *global* epsilon-annealing rule (``AGLMCMC.py:174-196``
+    computed over all devices' pools): returns
+    ``update(dis_local, hat_eps) -> new_hat_eps`` to call inside shard_map.
+    """
+
+    def update(dis_local, hat_eps):
+        num_a = jax.lax.psum(jnp.sum(dis_local < hat_eps), CHAIN_AXIS)
+        n = jax.lax.psum(dis_local.size, CHAIN_AXIS)
+        q = jnp.clip(alpha * num_a / n, 0.0, 1.0)
+        new_eps = distributed_quantile(dis_local, q)
+        new_eps = jnp.maximum(new_eps, hat_eps_T)
+        return jnp.where(hat_eps > hat_eps_T, new_eps, hat_eps)
+
+    return update

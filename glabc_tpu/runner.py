@@ -1,0 +1,176 @@
+"""MCMCRunner: the user-facing facade.
+
+Capability parity with reference ``glabcmcmc/MCMCRunner.py:6-121`` — same
+five ``run_*`` methods with the same argument order, output-directory
+management, CSV writing, and end-of-run summary report — plus the TPU
+extensions: ``num_chains`` (vmapped chains), explicit ``seed``/``key``
+reproducibility, acceptance-rate reporting, and full-chain ``.npy`` dumps.
+
+The reference's per-sampler CSV flush arithmetic (SURVEY quirk 6) is
+replaced by one uniform chunked :class:`~glabc_tpu.utils.io.ChainWriter`:
+first row = initial theta, then exactly one row per iteration.
+
+Signature notes vs the reference (README drift is SURVEY quirk 10):
+
+* every method takes ``(num_iterations, initial_theta, initial_y, ...)``
+  exactly as ``MCMCRunner.py`` does (not as the README claims);
+* ``initial_y=None`` simulates the initial dataset from ``initial_theta``;
+* single-chain runs return a ``(num_iterations, theta_dim)`` array like the
+  reference; multi-chain runs return ``(num_chains, num_iterations,
+  theta_dim)``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.stats import chain_summary
+from .samplers.aglmcmc import run_aglmcmc
+from .samplers.glmala import run_glmala
+from .samplers.glmcmc import run_glmcmc
+from .samplers.glmcmc_nf import run_glmcmc_nf
+from .samplers.global_mcmc import run_global_mcmc
+from .utils.io import ChainWriter
+
+__all__ = ["MCMCRunner"]
+
+
+class MCMCRunner:
+    def __init__(self, abc_set, output_dir: str = "./", seed: int = 0,
+                 num_chains: int = 1, verbose: bool = True,
+                 write_chains=None, segment_size: int = 10_000):
+        """
+        Args:
+            abc_set: ABC problem (``glabc_tpu.models.ABCProblem``).
+            output_dir: directory for result CSVs (created if missing).
+            seed: base PRNG seed (or pass ``key=`` per run).
+            num_chains: parallel chains (vmapped; default 1 = reference).
+            write_chains: which chains reach CSV — None (chain 0 only,
+                reference format), 'all', or an index list.
+            verbose: print the reference-style summary after each run.
+        """
+        self.abc_set = abc_set
+        self.output_dir = output_dir
+        self.num_chains = num_chains
+        self.verbose = verbose
+        self.write_chains = write_chains
+        self.segment_size = segment_size
+        self._key = jax.random.PRNGKey(seed)
+        os.makedirs(output_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ plumbing
+    def _next_key(self, key):
+        if key is not None:
+            return jnp.asarray(key)
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _writer(self, output_file: Optional[str], theta0) -> tuple:
+        if output_file is None:
+            return None, None
+        path = os.path.join(self.output_dir, output_file)
+        writer = ChainWriter(path, chains=self.write_chains)
+        theta0 = np.asarray(theta0, np.float32)
+        if theta0.ndim == 1:
+            theta0 = np.broadcast_to(theta0, (self.num_chains, theta0.shape[0]))
+        writer.write_initial(theta0)
+        return writer, writer.on_segment
+
+    def _finish(self, result, sampler_name: str):
+        if self.verbose:
+            rates = result.acceptance_rates()
+            summary = chain_summary(
+                result.thetas, acceptance_rate=float(rates["overall"].mean())
+            )
+            print(f"[{sampler_name}] {result.thetas.shape[0]} chain(s) x "
+                  f"{result.thetas.shape[1]} iterations")
+            print(summary.render())
+            print(f"Acceptance (global/local): "
+                  f"{float(rates['global'].mean()):.4f} / "
+                  f"{float(rates['local'].mean()):.4f}")
+        chains = result.thetas
+        return chains[0] if chains.shape[0] == 1 else chains
+
+    # ------------------------------------------------------------- runners
+    def run_global_mcmc(self, num_iterations, initial_theta, initial_y,
+                        global_frequency, local_proposal, global_proposal,
+                        output_file: Optional[str] = "global_mcmc_results.csv",
+                        key=None, **kwargs):
+        """Run GlobalMCMC (reference ``MCMCRunner.py:17-33``)."""
+        writer, on_segment = self._writer(output_file, initial_theta)
+        res = run_global_mcmc(
+            self.abc_set, self._next_key(key), num_iterations, initial_theta,
+            global_proposal, local_proposal, global_frequency, y0=initial_y,
+            num_chains=self.num_chains, segment_size=self.segment_size,
+            on_segment=on_segment, **kwargs,
+        )
+        return self._finish(res, "GlobalMCMC")
+
+    def run_glmcmc(self, num_iterations, initial_theta, initial_y,
+                   global_frequency, local_proposal, importance_proposal,
+                   batch_size, output_file: Optional[str] = "glmcmc_results.csv",
+                   key=None, **kwargs):
+        """Run GLMCMC (reference ``MCMCRunner.py:35-53``)."""
+        writer, on_segment = self._writer(output_file, initial_theta)
+        res = run_glmcmc(
+            self.abc_set, self._next_key(key), num_iterations, initial_theta,
+            importance_proposal, local_proposal, global_frequency, batch_size,
+            y0=initial_y, num_chains=self.num_chains,
+            segment_size=self.segment_size, on_segment=on_segment, **kwargs,
+        )
+        return self._finish(res, "GLMCMC")
+
+    def run_aglmcmc(self, num_iterations, initial_theta, initial_y,
+                    global_frequency, local_proposal, Initial_ISIR_prop,
+                    batch_size, step_size, alpha, hat_eps_T,
+                    output_file: Optional[str] = "aglmcmc_results.csv",
+                    key=None, **kwargs):
+        """Run AGLMCMC (reference ``MCMCRunner.py:55-76``)."""
+        writer, on_segment = self._writer(output_file, initial_theta)
+        res = run_aglmcmc(
+            self.abc_set, self._next_key(key), num_iterations, initial_theta,
+            local_proposal, Initial_ISIR_prop, global_frequency, batch_size,
+            step_size, alpha, hat_eps_T, y0=initial_y,
+            num_chains=self.num_chains, on_segment=on_segment, **kwargs,
+        )
+        return self._finish(res, "AGLMCMC")
+
+    def run_glmala(self, num_iterations, initial_theta, initial_y,
+                   global_frequency, importance_proposal, batch_size, tau,
+                   num_grad, output_file: Optional[str] = "glmala_results.csv",
+                   key=None, **kwargs):
+        """Run GLMALA (reference ``MCMCRunner.py:78-98``)."""
+        writer, on_segment = self._writer(output_file, initial_theta)
+        res = run_glmala(
+            self.abc_set, self._next_key(key), num_iterations, initial_theta,
+            importance_proposal, global_frequency, batch_size, tau, num_grad,
+            y0=initial_y, num_chains=self.num_chains,
+            segment_size=self.segment_size, on_segment=on_segment, **kwargs,
+        )
+        return self._finish(res, "GLMALA")
+
+    def run_glmcmc_nf(self, num_iterations, initial_theta, initial_y,
+                      global_frequency, local_proposal,
+                      importance_proposal_base, batch_size, step_size,
+                      train_steps,
+                      output_file: Optional[str] = "glmcmc_nf_results.csv",
+                      key=None, **kwargs):
+        """Run GLMCMC-NF (reference ``MCMCRunner.py:100-121``).
+
+        ``importance_proposal_base`` is the flow's base distribution (a
+        ``DiagGaussian``), like the reference's normflows base argument.
+        """
+        writer, on_segment = self._writer(output_file, initial_theta)
+        res = run_glmcmc_nf(
+            self.abc_set, self._next_key(key), num_iterations, initial_theta,
+            local_proposal, base=importance_proposal_base,
+            global_frequency=global_frequency, batch_size=batch_size,
+            step_size=step_size, train_steps=train_steps, y0=initial_y,
+            num_chains=self.num_chains, on_segment=on_segment, **kwargs,
+        )
+        return self._finish(res, "GLMCMC-NF")

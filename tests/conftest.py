@@ -2,12 +2,17 @@
 
 This is the standard JAX fake-multi-device pattern (SURVEY.md §4): collective
 code paths (psum/all_gather resampling, distributed quantiles, pooled refits)
-are exercised in CI without TPU hardware.  Must run before jax is imported.
+are exercised in CI without TPU hardware.
+
+Gotcha: this image's sitecustomize imports jax at interpreter startup (to
+register the axon TPU backend) and sets JAX_PLATFORMS=axon,cpu, so env vars
+set here are too late — the platform must be forced through
+``jax.config.update``.  Without this, tests serialize on the single tunneled
+TPU chip and contend with any concurrent TPU process.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +21,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,138 @@
+"""Tests for the MCMCRunner facade and chain IO (CSV + checkpointing)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glabc_tpu import (
+    ChainWriter,
+    DiagGaussian,
+    MCMCRunner,
+    MixtureProblem,
+    load_carry,
+    save_carry,
+)
+from glabc_tpu.samplers import init_chain_carry
+
+PROB = MixtureProblem(0.05)
+IP = DiagGaussian.create(2, 0.0, 0.0)
+LP = DiagGaussian.create(2, 0.0, float(jnp.log(0.35)))
+THETA0 = jnp.zeros(2)
+
+
+def _runner(tmp_path, **kw):
+    kw.setdefault("seed", 0)
+    kw.setdefault("verbose", False)
+    kw.setdefault("segment_size", 100)
+    return MCMCRunner(PROB, output_dir=str(tmp_path), **kw)
+
+
+class TestRunnerMethods:
+    def test_run_glmcmc_csv_format(self, tmp_path):
+        runner = _runner(tmp_path, num_chains=2)
+        chain = runner.run_glmcmc(250, THETA0, None, 0.9, LP, IP, 5)
+        assert chain.shape == (2, 250, 2)
+        csv = np.loadtxt(tmp_path / "glmcmc_results.csv", delimiter=",")
+        # reference format: initial theta row + one row per iteration
+        assert csv.shape == (250, 2)
+        np.testing.assert_array_equal(csv[0], [0.0, 0.0])
+        np.testing.assert_allclose(csv, chain[0], atol=1e-5)
+
+    def test_single_chain_returns_2d(self, tmp_path):
+        runner = _runner(tmp_path, num_chains=1)
+        chain = runner.run_global_mcmc(120, THETA0, None, 0.5, LP, IP,
+                                       output_file=None)
+        assert chain.shape == (120, 2)
+
+    def test_run_glmala(self, tmp_path):
+        runner = _runner(tmp_path)
+        chain = runner.run_glmala(80, THETA0, None, 0.8, IP, 5, 0.3, 20)
+        assert chain.shape == (80, 2)
+        assert os.path.exists(tmp_path / "glmala_results.csv")
+
+    def test_run_glmcmc_nf(self, tmp_path):
+        runner = _runner(tmp_path)
+        base = DiagGaussian.create(2)
+        chain = runner.run_glmcmc_nf(101, THETA0, None, 0.5, LP, base, 5, 10,
+                                     2, n_layers=2, hidden=16)
+        assert chain.shape == (101, 2)
+        csv = np.loadtxt(tmp_path / "glmcmc_nf_results.csv", delimiter=",")
+        assert csv.shape == (101, 2)
+
+    def test_run_aglmcmc(self, tmp_path):
+        runner = _runner(tmp_path)
+        chain = runner.run_aglmcmc(101, THETA0, None, 1.0, LP, IP, 5, 10,
+                                   0.8, 0.2)
+        assert chain.shape == (101, 2)
+        csv = np.loadtxt(tmp_path / "aglmcmc_results.csv", delimiter=",")
+        assert csv.shape == (101, 2)
+
+    def test_initial_y_accepted(self, tmp_path):
+        runner = _runner(tmp_path)
+        y0 = jnp.array([1.4, 1.6])
+        chain = runner.run_glmcmc(60, THETA0, y0, 0.9, LP, IP, 5,
+                                  output_file=None)
+        assert chain.shape == (60, 2)
+
+    def test_write_all_chains(self, tmp_path):
+        runner = _runner(tmp_path, num_chains=3, write_chains="all")
+        runner.run_glmcmc(60, THETA0, None, 0.9, LP, IP, 5,
+                          output_file="multi.csv")
+        for i in range(3):
+            csv = np.loadtxt(tmp_path / f"multi_chain{i}.csv", delimiter=",")
+            assert csv.shape == (60, 2)
+
+    def test_seeded_reproducibility(self, tmp_path):
+        r1 = _runner(tmp_path, seed=7)
+        r2 = _runner(tmp_path, seed=7)
+        c1 = r1.run_glmcmc(100, THETA0, None, 0.9, LP, IP, 5, output_file=None)
+        c2 = r2.run_glmcmc(100, THETA0, None, 0.9, LP, IP, 5, output_file=None)
+        np.testing.assert_array_equal(c1, c2)
+
+
+class TestCheckpoint:
+    def test_carry_roundtrip(self, tmp_path):
+        carry = init_chain_carry(PROB, jax.random.PRNGKey(0), THETA0,
+                                 num_chains=4)
+        path = str(tmp_path / "ckpt.npz")
+        save_carry(path, carry, step=123)
+        restored, step = load_carry(path)
+        assert step == 123
+        for a, b in zip(jax.tree_util.tree_leaves(carry),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_continues_identically(self, tmp_path):
+        """Running 100 steps == running 50, checkpointing, resuming 50."""
+        from glabc_tpu.samplers import (GLMCMCConfig, build_glmcmc_step)
+        from glabc_tpu.samplers.base import run_segmented
+        step = build_glmcmc_step(PROB, IP, LP, GLMCMCConfig(0.9, 5))
+        batched = jax.vmap(step, in_axes=(0, None))
+
+        c0 = init_chain_carry(PROB, jax.random.PRNGKey(3), THETA0, num_chains=2)
+        _, full = run_segmented(batched, c0, 100, segment_size=100)
+
+        c0 = init_chain_carry(PROB, jax.random.PRNGKey(3), THETA0, num_chains=2)
+        mid, first = run_segmented(batched, c0, 50, segment_size=50)
+        path = str(tmp_path / "mid.npz")
+        save_carry(path, mid, step=50)
+        restored, _ = load_carry(path)
+        _, second = run_segmented(batched, restored, 50, segment_size=50)
+        np.testing.assert_array_equal(
+            full, np.concatenate([first, second], axis=1)
+        )
+
+
+class TestChainWriter:
+    def test_segment_streaming(self, tmp_path):
+        path = str(tmp_path / "w.csv")
+        w = ChainWriter(path)
+        w.write_initial(np.array([[1.0, 2.0]]))
+        w.on_segment(np.arange(12, dtype=np.float32).reshape(1, 6, 2), 0)
+        w.on_segment(np.arange(12, 24, dtype=np.float32).reshape(1, 6, 2), 6)
+        csv = np.loadtxt(path, delimiter=",")
+        assert csv.shape == (13, 2)
+        np.testing.assert_array_equal(csv[0], [1.0, 2.0])
+        np.testing.assert_array_equal(csv[1:], np.arange(24).reshape(12, 2))
