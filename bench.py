@@ -1,10 +1,15 @@
 """Benchmark: vectorized ABC-MCMC transitions/s/chip on the 2-D Mixture.
 
 Canonical GLMCMC config (gf=0.9, batch_size=5 — reference
-``examples/Mixture.py:73``) vmapped over chains, as one jitted ``lax.scan``.
+``examples/Mixture.py:73``) on the fused Pallas transition kernel
+(propose -> simulate -> discrepancy -> epsilon-kernel -> iSIR/MH select in
+one VMEM-resident loop with on-chip PRNG, chain history collected).  Falls
+back to the XLA-fused ``lax.scan`` path if the Pallas kernel is unavailable
+on the current backend.
+
 Baseline = the driver north-star target of 1e6 transitions/s/chip
-(BASELINE.md; the reference itself publishes no numbers — its Python loop
-measures ~1-3e3 it/s single-chain on CPU).
+(BASELINE.md; the reference publishes no numbers — its Python loop runs
+~1-9e3 it/s single-chain on CPU).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -14,9 +19,42 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def main():
+def bench_fused():
+    from glabc_tpu import MixtureProblem
+    from glabc_tpu.ops.pallas.mixture_kernel import (
+        FusedMixtureGLMCMC,
+        fused_state_init,
+    )
+
+    problem = MixtureProblem(0.05)
+    C = 16384
+    kern = FusedMixtureGLMCMC(
+        2, problem.y_obs, epsilon=0.05, sigma=float(np.sqrt(0.05)),
+        global_frequency=0.9, batch_size=5, ip_scale=1.0, lp_scale=0.35,
+        steps_per_call=256, block_chains=512, collect_history=True,
+    )
+    theta, y, logk = fused_state_init(
+        problem, jax.random.PRNGKey(0), jnp.zeros(2), C
+    )
+    # warmup / compile
+    theta, y, logk, hist, acc = kern.run(1, theta, y, logk)
+    jax.block_until_ready(theta)
+
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(4):
+            theta, y, logk, hist, acc = kern.run(10 + rep * 4 + i, theta, y,
+                                                 logk)
+        jax.block_until_ready(hist)
+        best = min(best, (time.perf_counter() - t0) / 4)
+    return C * kern.T / best
+
+
+def bench_scan():
     from glabc_tpu import DiagGaussian, MixtureProblem
     from glabc_tpu.samplers import (
         GLMCMCConfig,
@@ -29,10 +67,7 @@ def main():
     lp = DiagGaussian.create(2, 0.0, float(jnp.log(0.35)))
     step = build_glmcmc_step(problem, ip, lp, GLMCMCConfig(0.9, 5))
     batched = jax.vmap(step, in_axes=(0, None))
-
-    C = 16384   # chains per chip
-    T = 1024    # transitions per timed segment
-
+    C, T = 8192, 512
     carry = init_chain_carry(
         problem, jax.random.PRNGKey(0), jnp.zeros(2), num_chains=C
     )
@@ -40,26 +75,29 @@ def main():
     @jax.jit
     def segment(c):
         def body(cc, _):
-            new_cc, _out = batched(cc, None)
-            return new_cc, None
-        c, _ = jax.lax.scan(body, c, None, length=T)
-        return c
+            return batched(cc, None)[0], None
+        return jax.lax.scan(body, c, None, length=T)[0]
 
-    # warmup / compile
     carry = segment(carry)
     jax.block_until_ready(carry.theta)
-
     best = float("inf")
-    reps = 3
-    for _ in range(reps):
+    for _ in range(3):
         t0 = time.perf_counter()
         carry = segment(carry)
         jax.block_until_ready(carry.theta)
         best = min(best, time.perf_counter() - t0)
+    return C * T / best
 
-    value = C * T / best
+
+def main():
+    try:
+        value = bench_fused()
+        metric = "glmcmc_mixture_transitions_per_s_per_chip"
+    except Exception:
+        value = bench_scan()
+        metric = "glmcmc_mixture_transitions_per_s_per_chip_scan_fallback"
     print(json.dumps({
-        "metric": "glmcmc_mixture_transitions_per_s_per_chip",
+        "metric": metric,
         "value": round(value, 1),
         "unit": "transitions/s",
         "vs_baseline": round(value / 1.0e6, 3),

@@ -34,10 +34,27 @@ class ChainWriter:
     ``<stem>_chain<k>.csv`` for every chain, or an iterable of indices.
     """
 
-    def __init__(self, filelocation: str, chains=None):
+    def __init__(self, filelocation: str, chains=None, use_native: bool = False):
+        """``use_native=True`` routes single-file mode through the C++
+        asynchronous writer (``glabc_tpu.native``): formatting + disk IO run
+        on a background thread so segment handoff never blocks the device
+        loop.  Falls back silently to the Python csv writer if the native
+        library cannot be built."""
         self.filelocation = filelocation
         self.chains = chains
         self._files = {}
+        self._native = None
+        if use_native and chains is None:
+            try:
+                from ..native import NativeChainWriter, native_available
+                if native_available():
+                    self._native_cls = NativeChainWriter
+                else:
+                    self._native_cls = None
+            except ImportError:
+                self._native_cls = None
+        else:
+            self._native_cls = None
 
     def _path(self, chain_idx: int) -> str:
         if self.chains is None:
@@ -55,16 +72,29 @@ class ChainWriter:
     def write_initial(self, theta0: np.ndarray) -> None:
         """Write the initial theta row(s).  ``theta0``: (C, d)."""
         theta0 = np.atleast_2d(np.asarray(theta0))
+        if self._native_cls is not None:
+            self._native = self._native_cls(self.filelocation,
+                                            theta0.shape[-1])
+            self._native.write(theta0[:1].astype(np.float32))
+            return
         for ci in self._indices(theta0.shape[0]):
             with open(self._path(ci), "w", newline="", encoding="utf-8") as f:
                 csv.writer(f).writerow(np.asarray(theta0[ci]).ravel())
 
     def on_segment(self, block: np.ndarray, start_index: int) -> None:
         """Append a (C, S, d) segment."""
+        if self._native is not None:
+            self._native.write(np.asarray(block[0], dtype=np.float32))
+            return
         for ci in self._indices(block.shape[0]):
             with open(self._path(ci), "a", newline="", encoding="utf-8") as f:
                 w = csv.writer(f)
                 w.writerows(np.asarray(block[ci]))
+
+    def close(self) -> None:
+        if self._native is not None:
+            self._native.close()
+            self._native = None
 
 
 def save_carry(path: str, carry: Any, step: int = 0) -> None:
