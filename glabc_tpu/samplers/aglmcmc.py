@@ -200,7 +200,12 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                 initial_isir_proposal, global_frequency=1.0, batch_size=5,
                 step_size=200, alpha=0.8, hat_eps_T=0.2, y0=None,
                 num_chains: int = 1, on_segment=None, oversample: int = 4,
-                support_retries: int = 0) -> AGLResult:
+                support_retries: int = 0, epoch_chunk: int = 0) -> AGLResult:
+    """``epoch_chunk > 0`` runs the per-chain adaptation epochs (KDE fit +
+    oversampled redraw, whose pairwise ``(4P, P, d)`` broadcast dominates
+    memory) in sequential chunks of that many chains via ``lax.map`` —
+    required at 10^4+ chains on higher-dimensional problems where the
+    all-chains epoch would not fit in HBM."""
     cfg = AGLMCMCConfig(global_frequency, batch_size, step_size, alpha,
                         hat_eps_T, oversample, support_retries)
     P = batch_size * step_size
@@ -229,12 +234,27 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
     # segment's step signature matches later ones; it is unused (use_kde=False)
     kdes = jax.vmap(lambda th: KernelDensity.fit(th))(pools.theta)
 
-    epoch_fn = jax.jit(
-        jax.vmap(
-            functools.partial(_epoch_update, problem, cfg),
-            in_axes=(0, 0, 0),
-        )
+    vmapped_epoch = jax.vmap(
+        functools.partial(_epoch_update, problem, cfg), in_axes=(0, 0, 0)
     )
+    if epoch_chunk and epoch_chunk < C:
+        assert C % epoch_chunk == 0, "num_chains must divide by epoch_chunk"
+
+        @jax.jit
+        def epoch_fn(keys, pools_, eps_):
+            def reblock(x):
+                return x.reshape((C // epoch_chunk, epoch_chunk)
+                                 + x.shape[1:])
+            def unblock(x):
+                return x.reshape((C,) + x.shape[2:])
+            out = jax.lax.map(
+                lambda args: vmapped_epoch(*args),
+                (reblock(keys), jax.tree_util.tree_map(reblock, pools_),
+                 reblock(eps_)),
+            )
+            return jax.tree_util.tree_map(unblock, out)
+    else:
+        epoch_fn = jax.jit(vmapped_epoch)
 
     def make_segment(use_kde: bool):
         step = _build_step(problem, local_proposal, initial_isir_proposal,

@@ -143,19 +143,24 @@ def isir_move(problem, proposal, key, theta, y, log_kernel_old, batch_size: int)
     Returns ``(theta_new, y_new, log_kernel_new, accepted)``.
     """
     k_prop, k_sim, k_pick = jax.random.split(key, 3)
-    theta_prop, log_q = proposal.forward(k_prop, batch_size)    # (B, d), (B,)
-    nan_row = jnp.any(jnp.isnan(theta_prop), axis=-1)
-    theta_sim = jnp.where(nan_row[:, None], 0.0, theta_prop)
-    x = problem.simulate(k_sim, theta_sim)                      # (B, d_y)
-    log_kernel_prop = problem.kernel_log_prob(problem.discrepancy(x))
-    log_w_prop = problem.prior_log_prob(theta_prop) + log_kernel_prop - log_q
-    log_w_prop = jnp.where(nan_row, -jnp.inf, log_w_prop)
-
-    log_w_old = (
-        problem.prior_log_prob(theta) + log_kernel_old - proposal.log_prob(theta)
-    )
-    log_w = jnp.concatenate([log_w_old[None], log_w_prop])      # (B+1,)
-    ind = categorical_from_log_weights(k_pick, log_w)
+    with jax.named_scope("isir_propose"):
+        theta_prop, log_q = proposal.forward(k_prop, batch_size)  # (B, d), (B,)
+        nan_row = jnp.any(jnp.isnan(theta_prop), axis=-1)
+        theta_sim = jnp.where(nan_row[:, None], 0.0, theta_prop)
+    with jax.named_scope("isir_simulate"):
+        x = problem.simulate(k_sim, theta_sim)                    # (B, d_y)
+    with jax.named_scope("isir_weigh"):
+        log_kernel_prop = problem.kernel_log_prob(problem.discrepancy(x))
+        log_w_prop = (problem.prior_log_prob(theta_prop) + log_kernel_prop
+                      - log_q)
+        log_w_prop = jnp.where(nan_row, -jnp.inf, log_w_prop)
+        log_w_old = (
+            problem.prior_log_prob(theta) + log_kernel_old
+            - proposal.log_prob(theta)
+        )
+        log_w = jnp.concatenate([log_w_old[None], log_w_prop])    # (B+1,)
+    with jax.named_scope("isir_resample"):
+        ind = categorical_from_log_weights(k_pick, log_w)
     accepted = ind != 0
 
     thetas = jnp.concatenate([theta[None], theta_prop])
@@ -227,6 +232,8 @@ def run_segmented(
     segment_size: int = 10_000,
     on_segment: Optional[Callable[[np.ndarray, int], None]] = None,
     unroll: int = 1,
+    checkpoint_path: Optional[str] = None,
+    step_offset: int = 0,
 ) -> Tuple[Any, np.ndarray]:
     """Run ``num_steps`` scan steps in host-visible segments.
 
@@ -238,30 +245,26 @@ def run_segmented(
     IO.  Returns ``(final_carry, thetas (C, num_steps, d))``.
     """
 
-    @jax.jit
-    def seg(c, n_pad_unused=None):
-        return jax.lax.scan(step, c, None, length=segment_size, unroll=unroll)
+    import functools
 
-    @jax.jit
-    def seg_partial(c, length):
+    @functools.partial(jax.jit, static_argnames=("length",),
+                       donate_argnames=("c",))
+    def seg(c, length):
         return jax.lax.scan(step, c, None, length=length, unroll=unroll)
 
     blocks = []
     done = 0
     while done < num_steps:
         take = min(segment_size, num_steps - done)
-        if take == segment_size:
-            carry, outs = seg(carry)
-        else:
-            # final ragged segment: separate trace with static length
-            carry, outs = jax.jit(
-                lambda c: jax.lax.scan(step, c, None, length=take, unroll=unroll)
-            )(carry)
+        carry, outs = seg(carry, length=take)
         block = np.asarray(outs.theta)          # (S, C, d)
         block = np.moveaxis(block, 0, 1)        # (C, S, d)
         if on_segment is not None:
-            on_segment(block, done)
+            on_segment(block, step_offset + done)
         blocks.append(block)
         done += take
+        if checkpoint_path is not None:
+            from ..utils.io import save_carry
+            save_carry(checkpoint_path, carry, step_offset + done)
     thetas = np.concatenate(blocks, axis=1) if blocks else np.zeros((0, 0, 0))
     return carry, thetas

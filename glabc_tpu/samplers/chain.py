@@ -3,6 +3,7 @@ by the non-adaptive samplers (GlobalMCMC, GLMCMC, GLMALA)."""
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -60,19 +61,36 @@ def sample_with_step(
     segment_size: int = 10_000,
     on_segment: Optional[Callable[[np.ndarray, int], None]] = None,
     unroll: int = 1,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = False,
 ) -> SamplerResult:
     """vmap a per-chain ``step`` over chains and scan it for ``num_ite - 1``
     transitions.  The returned chains have length ``num_ite`` with the initial
     state at index 0 (the reference writes the initial theta as the first CSV
-    row, ``GLMCMC.py:43-47``)."""
-    carry = init_chain_carry(problem, key, theta0, y0, num_chains)
+    row, ``GLMCMC.py:43-47``).
+
+    Checkpoint/resume (absent in the reference — SURVEY §5): with
+    ``checkpoint_path`` the full carry (theta, y, cached kernel, RNG keys,
+    counters) is snapshotted after every segment; ``resume=True`` restores it
+    and continues exactly where the run stopped — the resumed result contains
+    only the remaining transitions (earlier history is already on disk).
+    """
+    start = 0
+    carry = None
+    if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
+        from ..utils.io import load_carry
+        carry, start = load_carry(checkpoint_path)
+    if carry is None:
+        carry = init_chain_carry(problem, key, theta0, y0, num_chains)
+    include_init = start == 0
     theta_init = np.asarray(carry.theta)[:, None, :]  # (C, 1, d)
     batched_step = jax.vmap(step, in_axes=(0, None))
     carry, thetas = run_segmented(
-        batched_step, carry, num_ite - 1, segment_size, on_segment, unroll
+        batched_step, carry, (num_ite - 1) - start, segment_size, on_segment,
+        unroll, checkpoint_path=checkpoint_path, step_offset=start,
     )
-    if thetas.size:
+    if thetas.size and include_init:
         thetas = np.concatenate([theta_init, thetas], axis=1)
-    else:
+    elif not thetas.size:
         thetas = theta_init
     return SamplerResult(thetas=thetas, counts=carry.counts, final_carry=carry)
