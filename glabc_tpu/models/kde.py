@@ -89,20 +89,36 @@ class KernelDensity:
     def log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
         """Log-density at ``x`` of shape ``(..., d)`` -> ``(...,)``.
 
-        Fully vectorized ``(points, support, d)`` broadcast + logsumexp —
-        the reference computation (``kernel_density.py:96-128``) without the
-        host/device hops.
+        The reference materializes the ``(points, support, d)`` broadcast
+        (``kernel_density.py:117-120``); here the squared Mahalanobis
+        distance is decomposed as ``|x'|^2 - 2 x'.X' + |X'|^2`` (with
+        ``x' = x / h``) so the cross term is a ``(points, d) @ (d, support)``
+        matmul — it runs on the MXU and the peak intermediate is the
+        ``(points, support)`` distance matrix, not ``(points, support, d)``.
         """
         x = jnp.asarray(x, jnp.float32)
-        diff = (x[..., None, :] - self.X) / self.bandwidth       # (..., n, d)
-        log_kernel = -0.5 * jnp.sum(jnp.square(diff), axis=-1)   # (..., n)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None]
+        lead = x.shape[:-1]
+        xs = (x / self.bandwidth).reshape(-1, self.dim)          # (p, d)
+        Xs = self.X / self.bandwidth                             # (n, d)
+        cross = jnp.dot(xs, Xs.T, preferred_element_type=jnp.float32)
+        sq = (
+            jnp.sum(jnp.square(xs), axis=-1)[:, None]
+            - 2.0 * cross
+            + jnp.sum(jnp.square(Xs), axis=-1)[None, :]
+        )                                                        # (p, n)
+        sq = jnp.maximum(sq, 0.0)  # guard cancellation at tiny distances
         log_kernel = (
-            log_kernel
+            -0.5 * sq
             - 0.5 * self.dim * _LOG_2PI
             - jnp.sum(jnp.log(self.bandwidth))
         )
         log_weighted = log_kernel + jnp.log(self.weights + 1e-10)
-        return jax.scipy.special.logsumexp(log_weighted, axis=-1)
+        out = jax.scipy.special.logsumexp(log_weighted, axis=-1)
+        out = out.reshape(lead)
+        return out[0] if squeeze else out
 
     # --------------------------------------------------------------- sample
     def sample(self, key, num_samples: int = 1) -> jnp.ndarray:

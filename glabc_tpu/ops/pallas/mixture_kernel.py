@@ -32,10 +32,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["FusedMixtureGLMCMC", "fused_state_init"]
+__all__ = ["FusedMixtureGLMCMC", "FusedStats", "fused_state_init"]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 _SUB = 8  # float32 sublane tile
+
+
+class FusedStats(NamedTuple):
+    """Per-chain move statistics accumulated inside the kernel, all (1, C)
+    float32: total accepted moves, global-move attempts/accepts, and
+    local-move accepts (local attempts = steps - global attempts)."""
+
+    accepted: jnp.ndarray
+    global_attempts: jnp.ndarray
+    global_accepts: jnp.ndarray
+    local_accepts: jnp.ndarray
 
 
 def _uniform(shape):
@@ -76,7 +87,12 @@ class FusedMixtureGLMCMC:
                  batch_size: int = 5, prior_loc=0.0, prior_scale=1.0,
                  ip_loc=0.0, ip_scale=1.0, lp_scale=0.35,
                  steps_per_call: int = 256, block_chains: int = 512,
-                 collect_history: bool = True, interpret: bool = False):
+                 collect_history: bool = True, interpret: bool = False,
+                 algorithm: str = "glmcmc"):
+        """``algorithm``: 'glmcmc' (iSIR global move, ``GLMCMC.py:66-89``) or
+        'global' (independence-MH global move, ``GlobalMCMC.py:39-53``)."""
+        assert algorithm in ("glmcmc", "global")
+        self.algorithm = algorithm
         self.d = int(theta_dim)
         self.d_pad = max(_SUB, ((self.d + _SUB - 1) // _SUB) * _SUB)
         self.y_obs = np.broadcast_to(
@@ -109,7 +125,7 @@ class FusedMixtureGLMCMC:
     # ------------------------------------------------------------- kernel
     def _kernel(self, seed_ref, y_obs_ref, theta_ref, y_ref, logk_ref,
                 theta_out_ref, y_out_ref, logk_out_ref, hist_ref,
-                acc_ref):
+                acc_ref, gatt_ref, gacc_ref, lacc_ref):
         d, gf, B = self.d, self.gf, self.B
         eps, sigma = self.eps, self.sigma
         C = self.C_blk
@@ -149,26 +165,40 @@ class FusedMixtureGLMCMC:
             return (jnp.abs(th) + sigma * z) * mask
 
         def body(t, state):
-            theta, y, logk, acc = state
+            theta, y, logk, acc, gatt, gacc, lacc = state
 
-            # ---------------- global branch: iSIR with streaming argmax
-            logw_old = prior_lp(theta) + logk - ip_lp(theta)
-            w_score = logw_old + _gumbel((1, C))
-            w_theta, w_y, w_logk = theta, y, logk
-            w_moved = jnp.zeros((1, C), jnp.float32)
-            for _ in range(B):
-                thp = self.ip_loc + self.ip_scale * _normal((self.d_pad, C))
-                thp = thp * mask
+            if self.algorithm == "glmcmc":
+                # ------------ global branch: iSIR with streaming argmax
+                logw_old = prior_lp(theta) + logk - ip_lp(theta)
+                w_score = logw_old + _gumbel((1, C))
+                w_theta, w_y, w_logk = theta, y, logk
+                w_moved = jnp.zeros((1, C), jnp.float32)
+                for _ in range(B):
+                    thp = self.ip_loc + self.ip_scale * _normal((self.d_pad, C))
+                    thp = thp * mask
+                    yp = simulate(thp)
+                    logkp = kernel_lp(yp)
+                    logw = prior_lp(thp) + logkp - ip_lp(thp)
+                    score = logw + _gumbel((1, C))
+                    upd = score > w_score
+                    w_score = jnp.where(upd, score, w_score)
+                    w_theta = jnp.where(upd, thp, w_theta)
+                    w_y = jnp.where(upd, yp, w_y)
+                    w_logk = jnp.where(upd, logkp, w_logk)
+                    w_moved = jnp.where(upd, 1.0, w_moved)
+            else:
+                # ------------ global branch: independence MH
+                thp = (self.ip_loc
+                       + self.ip_scale * _normal((self.d_pad, C))) * mask
                 yp = simulate(thp)
                 logkp = kernel_lp(yp)
-                logw = prior_lp(thp) + logkp - ip_lp(thp)
-                score = logw + _gumbel((1, C))
-                upd = score > w_score
-                w_score = jnp.where(upd, score, w_score)
-                w_theta = jnp.where(upd, thp, w_theta)
-                w_y = jnp.where(upd, yp, w_y)
-                w_logk = jnp.where(upd, logkp, w_logk)
-                w_moved = jnp.where(upd, 1.0, w_moved)
+                log_acc = (prior_lp(thp) + logkp + ip_lp(theta)
+                           - ip_lp(thp) - prior_lp(theta) - logk)
+                g_acc = jnp.log(_uniform((1, C))) < log_acc
+                w_theta = jnp.where(g_acc, thp, theta)
+                w_y = jnp.where(g_acc, yp, y)
+                w_logk = jnp.where(g_acc, logkp, logk)
+                w_moved = jnp.where(g_acc, 1.0, 0.0)
 
             # ---------------- local branch: random-walk MH
             thl = (theta + self.lp_scale * _normal((self.d_pad, C))) * mask
@@ -188,22 +218,29 @@ class FusedMixtureGLMCMC:
             moved = jnp.where(is_g, w_moved,
                               jnp.where(l_acc, 1.0, 0.0))
             acc = acc + moved
+            is_g_f = is_g.astype(jnp.float32)
+            gatt = gatt + is_g_f
+            gacc = gacc + is_g_f * w_moved
+            lacc = lacc + (1.0 - is_g_f) * jnp.where(l_acc, 1.0, 0.0)
 
             if self.collect_history:
                 hist_ref[t] = theta
-            return theta, y, logk, acc
+            return theta, y, logk, acc, gatt, gacc, lacc
 
         theta0 = theta_ref[:]
         y0 = y_ref[:]
         logk0 = logk_ref[:]
-        acc0 = jnp.zeros((1, C), jnp.float32)
-        theta, y, logk, acc = jax.lax.fori_loop(
-            0, self.T, body, (theta0, y0, logk0, acc0)
+        z = jnp.zeros((1, C), jnp.float32)
+        theta, y, logk, acc, gatt, gacc, lacc = jax.lax.fori_loop(
+            0, self.T, body, (theta0, y0, logk0, z, z, z, z)
         )
         theta_out_ref[:] = theta
         y_out_ref[:] = y
         logk_out_ref[:] = logk
         acc_ref[:] = acc
+        gatt_ref[:] = gatt
+        gacc_ref[:] = gacc
+        lacc_ref[:] = lacc
 
     # --------------------------------------------------------------- call
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -248,20 +285,26 @@ class FusedMixtureGLMCMC:
                 state_spec, state_spec, logk_spec,
             ],
             out_specs=(state_spec, state_spec, logk_spec, hist_spec,
-                       logk_spec),
+                       logk_spec, logk_spec, logk_spec, logk_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((dp, C), jnp.float32),
                 jax.ShapeDtypeStruct((dp, C), jnp.float32),
                 jax.ShapeDtypeStruct((1, C), jnp.float32),
                 hist_shape,
                 jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
+                jax.ShapeDtypeStruct((1, C), jnp.float32),
             ),
             # TPU interpreter (not the generic one): pltpu.prng_* must work
             interpret=pltpu.InterpretParams() if self.interpret else False,
         )(jnp.asarray([seed], jnp.int32), jnp.asarray(self.y_obs), theta, y,
           logk)
-        theta_n, y_n, logk_n, hist, acc = out
-        return theta_n, y_n, logk_n, (hist if self.collect_history else None), acc
+        theta_n, y_n, logk_n, hist, acc, gatt, gacc, lacc = out
+        stats = FusedStats(accepted=acc, global_attempts=gatt,
+                           global_accepts=gacc, local_accepts=lacc)
+        return (theta_n, y_n, logk_n,
+                (hist if self.collect_history else None), stats)
 
 
 def fused_state_init(problem, key, theta0, num_chains: int, d_pad: int = _SUB):

@@ -7,6 +7,7 @@ from .mesh import (
     shard_chains,
 )
 from .sharded import (
+    distributed_systematic_resample,
     distributed_quantile,
     make_sharded_flow_trainer,
     sharded_hat_eps_update,
@@ -21,6 +22,7 @@ __all__ = [
     "replicated_sharding",
     "shard_chains",
     "distributed_quantile",
+    "distributed_systematic_resample",
     "make_sharded_flow_trainer",
     "sharded_hat_eps_update",
     "sharded_sample",

@@ -40,6 +40,7 @@ __all__ = [
     "sharded_sample",
     "make_sharded_flow_trainer",
     "distributed_quantile",
+    "distributed_systematic_resample",
     "sharded_hat_eps_update",
 ]
 
@@ -150,6 +151,36 @@ def distributed_quantile(x_local, q, axis_name: str = CHAIN_AXIS):
     """
     x_global = jax.lax.all_gather(x_local, axis_name).reshape(-1)
     return jnp.quantile(x_global, q)
+
+
+def distributed_systematic_resample(key, w_local, num_per_device: int,
+                                    axis_name: str = CHAIN_AXIS):
+    """Systematic resampling over a device-sharded weight vector.
+
+    Every device holds a shard ``w_local (n_local,)`` of the global weight
+    vector.  The global cumulative sum is formed by all-gathering the shards
+    over ICI; the common uniform comes from the shared ``key`` so every
+    device draws from the *same* systematic grid (bitwise reproducible), and
+    each device keeps its own ``num_per_device`` slice of the global index
+    vector.  Returned indices are global (into the gathered pool); pair with
+    an all-gathered pool or convert to (device, local) coordinates with
+    divmod(n_local).  Call inside ``shard_map``.
+
+    This is the distributed analogue of the reference resampler
+    (``GLMCMC_NFs.py:29-40``) for cross-chip flow-training pools.
+    """
+    my = jax.lax.axis_index(axis_name)
+    w_global = jax.lax.all_gather(w_local, axis_name).reshape(-1)
+    w_global = jnp.where(jnp.isnan(w_global) | (w_global < 0), 0.0, w_global)
+    w_global = w_global / jnp.sum(w_global)
+    c = jnp.cumsum(w_global)
+    n_dev = jax.lax.psum(1, axis_name)
+    N = num_per_device * n_dev
+    u0 = jax.random.uniform(key, (), dtype=w_global.dtype)
+    offset = my * num_per_device
+    u = (u0 + offset + jnp.arange(num_per_device, dtype=w_global.dtype)) / N
+    idx = jnp.searchsorted(c, u, side="right")
+    return jnp.clip(idx, 0, w_global.shape[0] - 1)
 
 
 def sharded_hat_eps_update(problem_unused, alpha, hat_eps_T):

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.kde import KernelDensity
-from ..ops.resampling import categorical_from_log_weights
+from ..ops.resampling import categorical_from_log_weights, systematic_resample
 from .base import MoveCounts, SamplerResult, StepOut, local_rw_move
 from .chain import init_chain_carry
 
@@ -137,6 +137,57 @@ def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps):
     return new_pool, kde, hat_eps
 
 
+def _shared_epoch_update(problem, cfg: AGLMCMCConfig, shared_support: int,
+                         key, pools: Pool, hat_eps):
+    """Shared (cross-chain) adaptation epoch: one epsilon quantile and one
+    KDE fit over ALL chains' pools.
+
+    The pooled training set (C*P weighted samples) is compressed to
+    ``shared_support`` points by weighted systematic resampling — which
+    preserves the target distribution — so the shared KDE's support stays
+    matmul-sized regardless of chain count.  New per-chain pools are then
+    drawn from the shared KDE.  Returns ``(new_pools, kde, new_hat_eps)``
+    with ``kde`` UNBATCHED (shared by every chain).
+    """
+    C, P, d = pools.theta.shape
+    k_res, k_sample, k_sim = jax.random.split(key, 3)
+
+    dis_all = pools.dis.reshape(-1)
+    n_all = dis_all.shape[0]
+
+    def anneal(eps):
+        num_a = jnp.sum(dis_all < eps)
+        q = jnp.clip(cfg.alpha * num_a / n_all, 0.0, 1.0)
+        return jnp.maximum(jnp.quantile(dis_all, q), cfg.hat_eps_T)
+
+    hat_eps = jnp.where(hat_eps > cfg.hat_eps_T, anneal(hat_eps), hat_eps)
+
+    theta_all = pools.theta.reshape(-1, d)
+    train_log_k = problem.kernel_log_prob(dis_all, hat_eps)
+    train_log_w = (
+        problem.prior_log_prob(theta_all) + train_log_k
+        - pools.log_q.reshape(-1)
+    )
+    w = jnp.exp(train_log_w)
+    w = jnp.where(jnp.isnan(w), 0.0, w)
+    w = w / jnp.sum(w)
+    idx = systematic_resample(k_res, w, shared_support)
+    kde = KernelDensity.fit(theta_all[idx], None, bandwidth="silverman")
+
+    def redraw(kk):
+        k_s, k_x = jax.random.split(kk)
+        cand = kde.sample(k_s, cfg.oversample * P)
+        ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
+        order = jnp.argsort(~ok, stable=True)
+        new_theta = cand[order[:P]]
+        new_log_q = kde.log_prob(new_theta)
+        return _pool_from_proposals(problem, k_x, new_theta, new_log_q)
+
+    new_pools = jax.vmap(redraw)(jax.random.split(k_sample, C))
+    del k_sim
+    return new_pools, kde, hat_eps
+
+
 def _build_step(problem, local_proposal, initial_proposal, cfg: AGLMCMCConfig,
                 use_kde: bool):
     """Transition kernel for one segment.  ``use_kde`` is static: False for
@@ -200,12 +251,19 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                 initial_isir_proposal, global_frequency=1.0, batch_size=5,
                 step_size=200, alpha=0.8, hat_eps_T=0.2, y0=None,
                 num_chains: int = 1, on_segment=None, oversample: int = 4,
-                support_retries: int = 0, epoch_chunk: int = 0) -> AGLResult:
+                support_retries: int = 0, epoch_chunk: int = 0,
+                shared_adaptation: bool = False,
+                shared_support: int = 4096) -> AGLResult:
     """``epoch_chunk > 0`` runs the per-chain adaptation epochs (KDE fit +
-    oversampled redraw, whose pairwise ``(4P, P, d)`` broadcast dominates
-    memory) in sequential chunks of that many chains via ``lax.map`` —
-    required at 10^4+ chains on higher-dimensional problems where the
-    all-chains epoch would not fit in HBM."""
+    oversampled redraw) in sequential chunks of that many chains via
+    ``lax.map`` — bounds memory for 10^4+ chain runs.
+
+    ``shared_adaptation=True`` switches to cross-chain adaptation: one
+    epsilon quantile over all chains' pools and ONE weighted KDE (support
+    compressed to ``shared_support`` points by systematic resampling) shared
+    by every chain — the scaled algorithm the reference's single chain
+    cannot express; each chain keeps its own pool drawn from the shared KDE
+    so the per-chain Markov kernel is unchanged in form."""
     cfg = AGLMCMCConfig(global_frequency, batch_size, step_size, alpha,
                         hat_eps_T, oversample, support_retries)
     P = batch_size * step_size
@@ -232,12 +290,23 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
 
     # placeholder KDE (uniform weights over the initial pool) so the first
     # segment's step signature matches later ones; it is unused (use_kde=False)
-    kdes = jax.vmap(lambda th: KernelDensity.fit(th))(pools.theta)
+    if shared_adaptation:
+        kdes = KernelDensity.fit(
+            pools.theta[0][: min(P, 4096)]
+        )
+    else:
+        kdes = jax.vmap(lambda th: KernelDensity.fit(th))(pools.theta)
 
     vmapped_epoch = jax.vmap(
         functools.partial(_epoch_update, problem, cfg), in_axes=(0, 0, 0)
     )
-    if epoch_chunk and epoch_chunk < C:
+    if shared_adaptation:
+        shared_epoch = jax.jit(
+            functools.partial(_shared_epoch_update, problem, cfg,
+                              shared_support)
+        )
+        epoch_fn = None
+    elif epoch_chunk and epoch_chunk < C:
         assert C % epoch_chunk == 0, "num_chains must divide by epoch_chunk"
 
         @jax.jit
@@ -256,10 +325,12 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
     else:
         epoch_fn = jax.jit(vmapped_epoch)
 
+    kde_axis = None if shared_adaptation else 0
+
     def make_segment(use_kde: bool):
         step = _build_step(problem, local_proposal, initial_isir_proposal,
                            cfg, use_kde)
-        batched = jax.vmap(step, in_axes=(0, 0, 0, None))
+        batched = jax.vmap(step, in_axes=(0, kde_axis, 0, None))
 
         @functools.partial(jax.jit, static_argnames=("length",))
         def segment(pool_, kde_, carry_, length):
@@ -276,7 +347,8 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
         max(1, int(round(step_size / global_frequency)))
         if global_frequency > 0 else (num_ite - 1)
     )
-    hat_eps = jnp.full((C,), 1.0e6, jnp.float32)
+    hat_eps = (jnp.float32(1.0e6) if shared_adaptation
+               else jnp.full((C,), 1.0e6, jnp.float32))
     hat_eps_hist = []
     blocks = []
     done = 0
@@ -292,9 +364,12 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
         done += take
         if done < total:
             k_loop, k_ep = jax.random.split(k_loop)
-            pools, kdes, hat_eps = epoch_fn(
-                jax.random.split(k_ep, C), pools, hat_eps
-            )
+            if shared_adaptation:
+                pools, kdes, hat_eps = shared_epoch(k_ep, pools, hat_eps)
+            else:
+                pools, kdes, hat_eps = epoch_fn(
+                    jax.random.split(k_ep, C), pools, hat_eps
+                )
             hat_eps_hist.append(np.asarray(hat_eps))
             n_epochs += 1
 

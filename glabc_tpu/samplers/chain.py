@@ -63,6 +63,7 @@ def sample_with_step(
     unroll: int = 1,
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
+    mesh=None,
 ) -> SamplerResult:
     """vmap a per-chain ``step`` over chains and scan it for ``num_ite - 1``
     transitions.  The returned chains have length ``num_ite`` with the initial
@@ -82,6 +83,9 @@ def sample_with_step(
         carry, start = load_carry(checkpoint_path)
     if carry is None:
         carry = init_chain_carry(problem, key, theta0, y0, num_chains)
+    if mesh is not None:
+        from ..parallel.mesh import shard_chains
+        carry = shard_chains(carry, mesh)
     include_init = start == 0
     theta_init = np.asarray(carry.theta)[:, None, :]  # (C, 1, d)
     batched_step = jax.vmap(step, in_axes=(0, None))

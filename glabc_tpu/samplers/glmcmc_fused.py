@@ -53,12 +53,15 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
 
     total = num_ite - 1
     blocks = [theta0_arr] if collect_history else []
-    accepted = np.zeros((num_chains,), np.float64)
+    g_att = np.zeros((num_chains,), np.float64)
+    g_acc = np.zeros((num_chains,), np.float64)
+    l_acc = np.zeros((num_chains,), np.float64)
+    steps_run = 0
     done = 0
     call_idx = 0
     while done < total:
         call_idx += 1
-        theta, y, logk, hist, acc = kern.run(
+        theta, y, logk, hist, stats = kern.run(
             np.int32((seed + call_idx) % (2**31 - 1)), theta, y, logk
         )
         take = min(kern.T, total - done)
@@ -68,17 +71,22 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
             if on_segment is not None:
                 on_segment(block, done)
             blocks.append(block)
-        accepted += np.asarray(acc)[0] * (take / kern.T)
+        # the kernel always runs T steps; scale the final partial segment
+        frac = take / kern.T
+        g_att += np.asarray(stats.global_attempts)[0] * frac
+        g_acc += np.asarray(stats.global_accepts)[0] * frac
+        l_acc += np.asarray(stats.local_accepts)[0] * frac
+        steps_run += take
         done += take
 
     thetas = (np.concatenate(blocks, axis=1) if collect_history
               else np.asarray(theta)[:d, :].T[:, None, :])
-    att = np.full((num_chains,), total, np.int32)
+    g_att_i = np.rint(g_att).astype(np.int32)
     counts = MoveCounts(
-        global_attempts=att,  # move-type split not tracked in the kernel
-        global_accepts=accepted.astype(np.int32),
-        local_attempts=np.zeros_like(att),
-        local_accepts=np.zeros_like(att),
+        global_attempts=g_att_i,
+        global_accepts=np.rint(g_acc).astype(np.int32),
+        local_attempts=(steps_run - g_att_i).astype(np.int32),
+        local_accepts=np.rint(l_acc).astype(np.int32),
     )
     return SamplerResult(thetas=thetas, counts=counts,
                          final_carry=(theta, y, logk))

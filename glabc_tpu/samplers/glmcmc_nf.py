@@ -63,6 +63,12 @@ class GLMCMCNFConfig:
     learning_rate: float = 5e-4
     weight_decay: float = 1e-5
     support_retries: int = 0
+    # 'flow_is': importance-resampled flow samples (reference semantics,
+    #            GLMCMC_NFs.py:114-124).
+    # 'chain_states': pooled current chain states from all vmapped chains —
+    #            the scaled adaptation signal (the chains ARE approximate
+    #            posterior draws); falls back to flow_is for few chains.
+    train_on: str = "flow_is"
 
 
 def make_optimizer(cfg: GLMCMCNFConfig):
@@ -117,6 +123,29 @@ def make_flow_trainer(problem, cfg: GLMCMCNFConfig, optimizer):
     return train
 
 
+def make_chain_state_trainer(cfg: GLMCMCNFConfig, optimizer):
+    """One training epoch on pooled chain states: the vmapped chains'
+    current thetas are (approximate) posterior draws, so the flow is fit by
+    forward KLD directly on them — no importance weights needed.  Returns
+    ``train(flow, opt_state, pooled_states) -> (flow, opt_state, loss)``.
+    In sharded runs the pooled states are the all-gathered chain axis."""
+
+    def train(flow: CouplingFlow, opt_state, states):
+        train_t = jax.lax.stop_gradient(states)
+        loss, grads = jax.value_and_grad(lambda f: f.forward_kld(train_t))(flow)
+        good = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(good, jnp.nan_to_num(g), 0.0), grads
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, flow)
+        new_flow = optax.apply_updates(flow, updates)
+        flow = tree_select(good, new_flow, flow)
+        opt_state = tree_select(good, new_opt_state, opt_state)
+        return flow, opt_state, loss
+
+    return train
+
+
 def build_nf_step(problem, local_proposal, cfg: GLMCMCNFConfig):
     """Per-chain transition kernel parameterized by the current flow:
     ``step(flow, carry, _)``."""
@@ -159,9 +188,11 @@ def run_glmcmc_nf(problem, key, num_ite, theta0, local_proposal,
                   batch_size=5, step_size=200, train_steps=50, y0=None,
                   num_chains: int = 1, n_layers: int = 32, hidden: int = 128,
                   on_segment=None, flow: CouplingFlow | None = None,
-                  support_retries: int = 0) -> NFResult:
+                  support_retries: int = 0,
+                  train_on: str = "flow_is") -> NFResult:
     cfg = GLMCMCNFConfig(global_frequency, batch_size, step_size, train_steps,
-                         n_layers, hidden, support_retries=support_retries)
+                         n_layers, hidden, support_retries=support_retries,
+                         train_on=train_on)
     k_flow, k_chain, k_train = jax.random.split(jnp.asarray(key), 3)
     if flow is None:
         flow = CouplingFlow.create(k_flow, problem.theta_dim, n_layers, hidden,
@@ -169,6 +200,7 @@ def run_glmcmc_nf(problem, key, num_ite, theta0, local_proposal,
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(flow)
     train = jax.jit(make_flow_trainer(problem, cfg, optimizer))
+    train_states = jax.jit(make_chain_state_trainer(cfg, optimizer))
 
     step = build_nf_step(problem, local_proposal, cfg)
     carry = init_chain_carry(problem, k_chain, theta0, y0, num_chains)
@@ -201,7 +233,12 @@ def run_glmcmc_nf(problem, key, num_ite, theta0, local_proposal,
         done += take
         if done < total and num_train < train_steps:
             k_train, k_ep = jax.random.split(k_train)
-            flow, opt_state, loss = train(flow, opt_state, k_ep)
+            if cfg.train_on == "chain_states":
+                flow, opt_state, loss = train_states(
+                    flow, opt_state, carry.theta
+                )
+            else:
+                flow, opt_state, loss = train(flow, opt_state, k_ep)
             losses.append(float(loss))
             num_train += 1
 

@@ -59,11 +59,11 @@ def run_global_mcmc(problem, key, num_ite, theta0, global_proposal,
                     local_proposal, global_frequency=0.5, y0=None,
                     num_chains: int = 1, segment_size: int = 10_000,
                     on_segment=None, support_retries: int = 0,
-                    checkpoint_path=None, resume: bool = False):
+                    checkpoint_path=None, resume: bool = False, mesh=None):
     cfg = GlobalMCMCConfig(global_frequency, support_retries)
     step = build_global_mcmc_step(problem, global_proposal, local_proposal, cfg)
     return sample_with_step(
         problem, step, key, num_ite, theta0, y0, num_chains,
         segment_size, on_segment, checkpoint_path=checkpoint_path,
-        resume=resume,
+        resume=resume, mesh=mesh,
     )

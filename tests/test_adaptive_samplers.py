@@ -89,3 +89,38 @@ class TestAGLMCMC:
                           alpha=0.8, hat_eps_T=0.6, num_chains=4)
         assert res.thetas.shape == (4, 301, 6)
         assert np.all(np.isfinite(res.thetas))
+
+
+def test_nf_chain_state_training_mode():
+    """train_on='chain_states': the flow is fit on pooled vmapped chain
+    states and should concentrate near the posterior modes (|theta|~1.5)."""
+    res = run_glmcmc_nf(PROB, KEY, 801, jnp.full(2, 1.5), LP,
+                        global_frequency=0.5, batch_size=5, step_size=20,
+                        train_steps=30, num_chains=64, n_layers=4, hidden=32,
+                        train_on="chain_states")
+    assert np.all(np.isfinite(res.loss_hist))
+    s = np.asarray(res.flow.sample(KEY, 2048))
+    # flow samples should concentrate away from 0 toward the mode radius
+    assert 0.8 < np.abs(s).mean() < 2.2, np.abs(s).mean()
+    # and losses should generally decrease
+    assert np.mean(res.loss_hist[-5:]) < np.mean(res.loss_hist[:5])
+
+
+def test_aglmcmc_shared_adaptation():
+    """Cross-chain shared KDE + global epsilon quantile: correct posterior
+    and annealing, with one KDE shared by all chains."""
+    res = run_aglmcmc(PROB, KEY, 601, jnp.zeros(2), LP, IP,
+                      global_frequency=1.0, batch_size=5, step_size=50,
+                      alpha=0.8, hat_eps_T=0.2, num_chains=8,
+                      shared_adaptation=True, shared_support=512)
+    assert res.thetas.shape == (8, 601, 2)
+    assert np.all(np.isfinite(res.thetas))
+    # shared hat_eps is a scalar history, monotone toward the target
+    hist = res.hat_eps_hist
+    assert hist is not None and hist.ndim == 1
+    assert np.all(np.diff(hist) <= 1e-6)
+    ch = res.thetas[:, 100:, :].reshape(-1, 2)
+    absmean = np.abs(ch).mean(0)
+    assert np.all(absmean > 1.1) and np.all(absmean < 1.8), absmean
+    # shared KDE support has the compressed size
+    assert res.kde.X.shape == (512, 2)

@@ -26,11 +26,16 @@ def test_fused_glmcmc_posterior():
                            num_chains=1024, steps_per_call=256,
                            block_chains=512)
     assert res.thetas.shape == (1024, 2049, 2)
-    ch = res.thetas[:, 256:, :].reshape(-1, 2)
+    ch = res.thetas[:, 256:, :].reshape(-1, 2).astype(np.float64)
     absmean = np.abs(ch).mean(0)
     var = ch.var(0)
     assert np.all(absmean > 1.3) and np.all(absmean < 1.6), absmean
     assert np.all(var > 1.8) and np.all(var < 2.4), var
+    # move-type accounting: ~90% of steps global, acceptance ~1%
+    rates = res.acceptance_rates()
+    gf_measured = np.asarray(res.counts.global_attempts).mean() / 2048
+    assert 0.85 < gf_measured < 0.95, gf_measured
+    assert 0.003 < float(rates["overall"].mean()) < 0.05
 
 
 def test_fused_matches_scan_path_statistically():

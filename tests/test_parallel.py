@@ -111,3 +111,34 @@ def test_sharded_trainer_reduces_loss_over_epochs(mesh):
         flow, opt_state, loss = train(flow, opt_state, k)
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_run_glmcmc_with_mesh(mesh):
+    """mesh= kwarg shards the carry; result identical to unsharded."""
+    from glabc_tpu.samplers import run_glmcmc
+    a = run_glmcmc(PROB, KEY, 201, jnp.zeros(2), IP, LP, 0.9, 5,
+                   num_chains=16, segment_size=201)
+    b = run_glmcmc(PROB, KEY, 201, jnp.zeros(2), IP, LP, 0.9, 5,
+                   num_chains=16, segment_size=201, mesh=mesh)
+    np.testing.assert_array_equal(a.thetas, b.thetas)
+
+
+def test_distributed_systematic_resample_matches_global(mesh):
+    """Sharded resample == single-array systematic_resample on the same
+    grid (same u0), and every device agrees on the global index vector."""
+    from glabc_tpu.ops import systematic_resample
+    from glabc_tpu.parallel import distributed_systematic_resample
+
+    w = jax.random.uniform(KEY, (8, 32))  # 8 device shards of 32
+    n_per = 16
+
+    def worker(w_local):
+        return distributed_systematic_resample(KEY, w_local[0], n_per)
+
+    got = jax.jit(
+        jax.shard_map(worker, mesh=mesh, in_specs=P(CHAIN_AXIS),
+                      out_specs=P(CHAIN_AXIS), check_vma=False)
+    )(w)  # (8*n_per,) concatenated per-device slices = global index vector
+    wg = w.reshape(-1)
+    expected = systematic_resample(KEY, wg / wg.sum(), 8 * n_per)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
