@@ -43,7 +43,8 @@ __all__ = ["MCMCRunner"]
 class MCMCRunner:
     def __init__(self, abc_set, output_dir: str = "./", seed: int = 0,
                  num_chains: int = 1, verbose: bool = True,
-                 write_chains=None, segment_size: int = 10_000):
+                 write_chains=None, segment_size: int = 10_000,
+                 use_native_io: bool = False):
         """
         Args:
             abc_set: ABC problem (``glabc_tpu.models.ABCProblem``).
@@ -60,7 +61,9 @@ class MCMCRunner:
         self.verbose = verbose
         self.write_chains = write_chains
         self.segment_size = segment_size
+        self.use_native_io = use_native_io
         self._key = jax.random.PRNGKey(seed)
+        self._open_writers = []
         os.makedirs(output_dir, exist_ok=True)
 
     # ------------------------------------------------------------ plumbing
@@ -74,14 +77,19 @@ class MCMCRunner:
         if output_file is None:
             return None, None
         path = os.path.join(self.output_dir, output_file)
-        writer = ChainWriter(path, chains=self.write_chains)
+        writer = ChainWriter(path, chains=self.write_chains,
+                             use_native=self.use_native_io)
         theta0 = np.asarray(theta0, np.float32)
         if theta0.ndim == 1:
             theta0 = np.broadcast_to(theta0, (self.num_chains, theta0.shape[0]))
         writer.write_initial(theta0)
+        self._open_writers.append(writer)
         return writer, writer.on_segment
 
     def _finish(self, result, sampler_name: str):
+        for w in self._open_writers:
+            w.close()
+        self._open_writers.clear()
         if self.verbose:
             rates = result.acceptance_rates()
             summary = chain_summary(

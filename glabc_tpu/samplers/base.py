@@ -234,6 +234,7 @@ def run_segmented(
     unroll: int = 1,
     checkpoint_path: Optional[str] = None,
     step_offset: int = 0,
+    progress: bool = False,
 ) -> Tuple[Any, np.ndarray]:
     """Run ``num_steps`` scan steps in host-visible segments.
 
@@ -254,6 +255,7 @@ def run_segmented(
 
     blocks = []
     done = 0
+    t_start = None
     while done < num_steps:
         take = min(segment_size, num_steps - done)
         carry, outs = seg(carry, length=take)
@@ -266,5 +268,20 @@ def run_segmented(
         if checkpoint_path is not None:
             from ..utils.io import save_carry
             save_carry(checkpoint_path, carry, step_offset + done)
+        if progress:
+            # the reference shows tqdm progress (GlobalMCMC.py:37); here one
+            # line per segment with aggregate throughput
+            import sys as _sys
+            import time as _time
+            now = _time.time()
+            if t_start is None:
+                t_start = now
+                rate = 0.0
+            else:
+                rate = done * block.shape[0] / max(now - t_start, 1e-9)
+            print(f"\r[{step_offset + done}/{step_offset + num_steps}] "
+                  f"{rate:,.0f} transitions/s", end="", file=_sys.stderr)
+            if done >= num_steps:
+                print(file=_sys.stderr)
     thetas = np.concatenate(blocks, axis=1) if blocks else np.zeros((0, 0, 0))
     return carry, thetas

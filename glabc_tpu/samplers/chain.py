@@ -64,6 +64,7 @@ def sample_with_step(
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
     mesh=None,
+    progress: bool = False,
 ) -> SamplerResult:
     """vmap a per-chain ``step`` over chains and scan it for ``num_ite - 1``
     transitions.  The returned chains have length ``num_ite`` with the initial
@@ -92,6 +93,7 @@ def sample_with_step(
     carry, thetas = run_segmented(
         batched_step, carry, (num_ite - 1) - start, segment_size, on_segment,
         unroll, checkpoint_path=checkpoint_path, step_offset=start,
+        progress=progress,
     )
     if thetas.size and include_init:
         thetas = np.concatenate([theta_init, thetas], axis=1)

@@ -1,0 +1,52 @@
+"""Smoke tests for the example scripts (run as subprocesses, tiny sizes)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd=None, timeout=420):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep examples off the TPU tunnel
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable] + args, cwd=cwd or ROOT, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_mixture_example_glmcmc(tmp_path):
+    r = _run(["examples/mixture.py", "--sampler", "glmcmc",
+              "--num-ite", "300", "--chains", "2",
+              "--output-dir", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "GLMCMC" in r.stdout and "ESJD" in r.stdout
+    csv = np.loadtxt(tmp_path / "glmcmc_results.csv", delimiter=",")
+    assert csv.shape == (300, 2)
+
+
+def test_plot_example(tmp_path):
+    # produce a small chain csv then plot it
+    r = _run(["examples/mixture.py", "--sampler", "glmcmc",
+              "--num-ite", "200", "--chains", "1",
+              "--output-dir", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r2 = _run([os.path.join(ROOT, "examples", "plot.py"),
+               str(tmp_path / "glmcmc_results.csv"), "0", "200"],
+              cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert (tmp_path / "traceplot_GLMCMC.pdf").exists()
+    assert (tmp_path / "posteriorGLMCMC_fill.pdf").exists()
+
+
+@pytest.mark.slow
+def test_mixture_hyper_example():
+    r = _run(["examples/mixture_hyper.py", "--num-ite", "120", "--seeds", "2"],
+             timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "best global_frequency" in r.stdout
