@@ -1,0 +1,271 @@
+"""Packed fused GLMCMC kernel: multiple chains per sublane tile.
+
+The plain fused kernel (``mixture_kernel.py``) lays state out as
+``(d_pad=8, C)`` — for the canonical d=2 Mixture problem 6 of 8 sublanes are
+padding, so 75% of RNG bits and VPU lanes are wasted.  This kernel packs
+``pack = 8 // d`` chains into each sublane group: state is ``(8, C)`` with
+rows ``[c0.d0, c0.d1, c1.d0, c1.d1, ...]`` — every row is live, quadrupling
+(for d=2) the chains processed per tile op.
+
+Event-dimension reductions become sublane group-sums built from
+``pltpu.roll``: ``group_sum(x) = broadcast_leaders(mask_leaders(sum_j
+roll(x, -j)))`` — d rolls + d adds instead of one cross-row reduce, all
+native sublane rotates.
+
+Same Markov kernel as the scan/unpacked paths (GLMCMC: iSIR global +
+RW-MH local, reference ``GLMCMC.py:58-104``); validated against them
+statistically on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mixture_kernel import _gumbel, _normal, _uniform
+
+__all__ = ["PackedMixtureGLMCMC", "packed_state_init", "unpack_history"]
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+_SUB = 8
+
+
+class PackedStats(NamedTuple):
+    accepted: jnp.ndarray        # (8, C) per packed chain row-group leader
+    global_attempts: jnp.ndarray
+    global_accepts: jnp.ndarray
+    local_accepts: jnp.ndarray
+
+
+class PackedMixtureGLMCMC:
+    """Fused GLMCMC with sublane chain packing for ``d in {1, 2, 4, 8}``."""
+
+    def __init__(self, theta_dim: int, y_obs, *, epsilon: float,
+                 sigma: float, global_frequency: float = 0.9,
+                 batch_size: int = 5, prior_loc=0.0, prior_scale=1.0,
+                 ip_loc=0.0, ip_scale=1.0, lp_scale=0.35,
+                 steps_per_call: int = 256, block_chains: int = 512,
+                 collect_history: bool = True):
+        assert _SUB % theta_dim == 0, "packed kernel needs d | 8"
+        self.d = int(theta_dim)
+        self.pack = _SUB // self.d
+        self.y_obs = np.broadcast_to(
+            np.asarray(y_obs, np.float32).reshape(-1), (self.d,)
+        )
+        self.eps = float(epsilon)
+        self.sigma = float(sigma)
+        self.gf = float(global_frequency)
+        self.B = int(batch_size)
+        self.prior_loc = float(prior_loc)
+        self.prior_scale = float(prior_scale)
+        self.ip_loc = float(ip_loc)
+        self.ip_scale = float(ip_scale)
+        self.lp_scale = float(lp_scale)
+        self.T = int(steps_per_call)
+        self.C_blk = int(block_chains)
+        self.collect_history = bool(collect_history)
+        assert self.C_blk % 128 == 0
+
+    # ------------------------------------------------------------- kernel
+    def _kernel(self, seed_ref, y_obs_ref, theta_ref, y_ref, logk_ref,
+                theta_out_ref, y_out_ref, logk_out_ref, hist_ref,
+                acc_ref, gatt_ref, gacc_ref, lacc_ref):
+        d, pack, gf, B, C = self.d, self.pack, self.gf, self.B, self.C_blk
+        eps, sigma = self.eps, self.sigma
+
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(-1640531527))
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
+        leader = (rows % d == 0).astype(jnp.float32)   # group-leader rows
+        # y_obs tiled down the groups: rows [y0..y_{d-1}, y0.., ...]
+        y_obs = jnp.zeros((_SUB, 1), jnp.float32)
+        for j in range(d):
+            y_obs = jnp.where(rows % d == j, y_obs_ref[j], y_obs)
+
+        def group_sum(x):
+            """Per-group sum of d consecutive rows, broadcast to all rows of
+            the group."""
+            s = x
+            for j in range(1, d):
+                # pltpu.roll requires non-negative shifts; -j == _SUB - j
+                s = s + pltpu.roll(x, _SUB - j, axis=0)
+            # s's leader rows now hold the group sums
+            s = s * leader
+            out = s
+            for j in range(1, d):
+                out = out + pltpu.roll(s, j, axis=0)
+            return out
+
+        def group_bcast(x):
+            """Broadcast each group's leader-row value to the whole group."""
+            s = x * leader
+            out = s
+            for j in range(1, d):
+                out = out + pltpu.roll(s, j, axis=0)
+            return out
+
+        log_norm = -0.5 * _LOG_2PI
+
+        def prior_lp(th):
+            z = (th - self.prior_loc) / self.prior_scale
+            return group_sum(log_norm - np.log(self.prior_scale) - 0.5 * z * z)
+
+        def ip_lp(th):
+            z = (th - self.ip_loc) / self.ip_scale
+            return group_sum(log_norm - np.log(self.ip_scale) - 0.5 * z * z)
+
+        def kernel_lp(y):
+            diff = y - y_obs
+            dis2 = group_sum(diff * diff)
+            return (-0.5 * _LOG_2PI - np.log(eps)) - 0.5 * dis2 / (eps * eps)
+
+        def simulate(th):
+            return jnp.abs(th) + sigma * _normal((_SUB, C))
+
+        def scalar_uniform():
+            """One uniform per packed chain, equal across its group rows."""
+            return group_bcast(_uniform((_SUB, C)))
+
+        def scalar_gumbel():
+            return group_bcast(_gumbel((_SUB, C)))
+
+        def body(t, state):
+            theta, y, logk, acc, gatt, gacc, lacc = state
+
+            # ---------------- global branch: iSIR streaming Gumbel argmax
+            logw_old = prior_lp(theta) + logk - ip_lp(theta)
+            w_score = logw_old + scalar_gumbel()
+            w_theta, w_y, w_logk = theta, y, logk
+            w_moved = jnp.zeros((_SUB, C), jnp.float32)
+            for _ in range(B):
+                thp = self.ip_loc + self.ip_scale * _normal((_SUB, C))
+                yp = simulate(thp)
+                logkp = kernel_lp(yp)
+                logw = prior_lp(thp) + logkp - ip_lp(thp)
+                score = logw + scalar_gumbel()
+                upd = score > w_score           # group-uniform by construction
+                w_score = jnp.where(upd, score, w_score)
+                w_theta = jnp.where(upd, thp, w_theta)
+                w_y = jnp.where(upd, yp, w_y)
+                w_logk = jnp.where(upd, logkp, w_logk)
+                w_moved = jnp.where(upd, 1.0, w_moved)
+
+            # ---------------- local branch: RW-MH
+            thl = theta + self.lp_scale * _normal((_SUB, C))
+            yl = simulate(thl)
+            logkl = kernel_lp(yl)
+            log_acc = prior_lp(thl) + logkl - prior_lp(theta) - logk
+            l_acc = jnp.log(scalar_uniform()) < log_acc
+            l_theta = jnp.where(l_acc, thl, theta)
+            l_y = jnp.where(l_acc, yl, y)
+            l_logk = jnp.where(l_acc, logkl, logk)
+
+            # ---------------- coin flip (group-uniform)
+            is_g = scalar_uniform() < gf
+            theta = jnp.where(is_g, w_theta, l_theta)
+            y = jnp.where(is_g, w_y, l_y)
+            logk = jnp.where(is_g, w_logk, l_logk)
+            is_g_f = jnp.where(is_g, 1.0, 0.0)
+            moved = jnp.where(is_g, w_moved, jnp.where(l_acc, 1.0, 0.0))
+            acc = acc + moved * leader
+            gatt = gatt + is_g_f * leader
+            gacc = gacc + is_g_f * w_moved * leader
+            lacc = lacc + (1.0 - is_g_f) * jnp.where(l_acc, 1.0, 0.0) * leader
+
+            if self.collect_history:
+                hist_ref[t] = theta
+            return theta, y, logk, acc, gatt, gacc, lacc
+
+        z = jnp.zeros((_SUB, C), jnp.float32)
+        theta, y, logk, acc, gatt, gacc, lacc = jax.lax.fori_loop(
+            0, self.T, body,
+            (theta_ref[:], y_ref[:], logk_ref[:], z, z, z, z),
+        )
+        theta_out_ref[:] = theta
+        y_out_ref[:] = y
+        logk_out_ref[:] = logk
+        acc_ref[:] = acc
+        gatt_ref[:] = gatt
+        gacc_ref[:] = gacc
+        lacc_ref[:] = lacc
+
+    # --------------------------------------------------------------- call
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run(self, seed, theta, y, logk):
+        """``theta``/``y``/``logk``: packed ``(8, C)`` arrays (``logk``
+        group-broadcast).  Packed chain count = ``pack * C``."""
+        C = theta.shape[-1]
+        assert C % self.C_blk == 0
+        n_blk = C // self.C_blk
+        T = self.T
+
+        spec = pl.BlockSpec((_SUB, self.C_blk), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        hist_T = T if self.collect_history else 1
+        hist_spec = pl.BlockSpec((hist_T, _SUB, self.C_blk),
+                                 lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            self._kernel,
+            grid=(n_blk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                spec, spec, spec,
+            ],
+            out_specs=(spec, spec, spec, hist_spec, spec, spec, spec, spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((_SUB, C), jnp.float32),
+                jax.ShapeDtypeStruct((_SUB, C), jnp.float32),
+                jax.ShapeDtypeStruct((_SUB, C), jnp.float32),
+                jax.ShapeDtypeStruct((hist_T, _SUB, C), jnp.float32),
+                jax.ShapeDtypeStruct((_SUB, C), jnp.float32),
+                jax.ShapeDtypeStruct((_SUB, C), jnp.float32),
+                jax.ShapeDtypeStruct((_SUB, C), jnp.float32),
+                jax.ShapeDtypeStruct((_SUB, C), jnp.float32),
+            ),
+        )(jnp.asarray([seed], jnp.int32), jnp.asarray(self.y_obs), theta, y,
+          logk)
+        theta_n, y_n, logk_n, hist, acc, gatt, gacc, lacc = out
+        stats = PackedStats(acc, gatt, gacc, lacc)
+        return (theta_n, y_n, logk_n,
+                (hist if self.collect_history else None), stats)
+
+
+def packed_state_init(problem, key, theta0, num_cols: int, pack: int):
+    """Build packed ``(8, num_cols)`` state for ``pack * num_cols`` chains."""
+    d = problem.theta_dim
+    assert pack * d == _SUB
+    C_total = pack * num_cols
+    theta0 = jnp.asarray(theta0, jnp.float32).reshape(-1)
+    keys = jax.random.split(jax.random.fold_in(key, 1), C_total)
+    th_all = jnp.broadcast_to(theta0, (C_total, d))
+    y_all = jax.vmap(problem.simulate)(keys, th_all)          # (pack*C, d)
+    logk_all = problem.kernel_log_prob(problem.discrepancy(y_all))
+
+    def to_packed(x_cd):  # (pack*C, d) -> (8, C)
+        return (x_cd.reshape(pack, num_cols, d)
+                .transpose(0, 2, 1)
+                .reshape(_SUB, num_cols))
+
+    theta = to_packed(th_all)
+    y = to_packed(y_all)
+    logk = to_packed(
+        jnp.repeat(logk_all[:, None], d, axis=1)
+    )
+    return theta, y, logk
+
+
+def unpack_history(hist, d: int):
+    """(T, 8, C) packed history -> (pack*C, T, d) chains."""
+    T, sub, C = hist.shape
+    pack = sub // d
+    x = np.asarray(hist).reshape(T, pack, d, C)
+    return x.transpose(1, 3, 0, 2).reshape(pack * C, T, d)

@@ -14,10 +14,10 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
-__all__ = ["esjd", "esjd_per_second", "weighted_std", "chain_summary", "ChainSummary"]
+__all__ = ["esjd", "esjd_per_second", "ess", "weighted_std", "chain_summary",
+           "ChainSummary"]
 
 
 def esjd(chain: jnp.ndarray) -> jnp.ndarray:
@@ -41,6 +41,31 @@ def esjd_per_second(chain: jnp.ndarray, wallclock_s: float, num_ite: int) -> jnp
     """The reference's hyperparameter-selection score:
     ``esjd(chain) / (wallclock / num_ite)`` (``Mixture_hyper.py:36-37``)."""
     return esjd(chain) / (wallclock_s / num_ite)
+
+
+def ess(chain: jnp.ndarray) -> jnp.ndarray:
+    """Effective sample size per dimension (Geyer initial-positive-sequence).
+
+    The reference computes ESS nowhere but prints a commented-out ESS line
+    in every summary (``GLMCMC.py:136``); this supplies the capability.
+    FFT autocovariance + paired-lag truncation at the first non-positive
+    pair sum; vectorized over ``(..., N, d)`` -> ``(..., d)``.
+    """
+    chain = jnp.asarray(chain, jnp.float32)
+    n = chain.shape[-2]
+    x = chain - jnp.mean(chain, axis=-2, keepdims=True)
+    f = jnp.fft.rfft(x, n=2 * n, axis=-2)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=2 * n, axis=-2)[..., :n, :] / n
+    rho = acov / jnp.where(acov[..., :1, :] == 0, 1.0, acov[..., :1, :])
+    # paired sums Gamma_m = rho_{2m} + rho_{2m+1}
+    n_pairs = n // 2
+    pairs = rho[..., : 2 * n_pairs, :].reshape(
+        rho.shape[:-2] + (n_pairs, 2, rho.shape[-1])
+    ).sum(axis=-2)                                     # (..., n_pairs, d)
+    keep = jnp.cumprod(pairs > 0.0, axis=-2)
+    tau = -1.0 + 2.0 * jnp.sum(pairs * keep, axis=-2)  # (..., d)
+    tau = jnp.maximum(tau, 1.0)
+    return n / tau
 
 
 def weighted_std(x: jnp.ndarray, weights: jnp.ndarray, unbiased: bool = True,

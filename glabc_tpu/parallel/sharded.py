@@ -30,11 +30,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..ops.resampling import systematic_resample
-from .mesh import CHAIN_AXIS, chain_sharding, shard_chains
+from .mesh import CHAIN_AXIS, shard_chains
 
 __all__ = [
     "sharded_sample",

@@ -9,9 +9,8 @@ when the problem fits the fused family and throughput matters; use
 
 from __future__ import annotations
 
-import numpy as np
 import jax
-import jax.numpy as jnp
+import numpy as np
 
 from ..ops.pallas.mixture_kernel import FusedMixtureGLMCMC, fused_state_init
 from .base import MoveCounts, SamplerResult

@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 
 import jax
-import jax.numpy as jnp
 
 from .base import StepOut, independence_mh_move, local_rw_move
 from .chain import ChainCarry, sample_with_step

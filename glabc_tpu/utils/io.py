@@ -18,7 +18,7 @@ from __future__ import annotations
 import csv
 import os
 import pickle
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from glabc_tpu.ops import (
     categorical_from_log_weights,
@@ -114,3 +115,32 @@ def test_chain_summary():
         np.asarray(s.ci_upper - s.ci_lower), 2 * 1.96 * np.sqrt(s.variance), rtol=1e-5
     )
     assert "Mean" in s.render()
+
+
+class TestESS:
+    def test_iid_near_n(self):
+        from glabc_tpu.ops import ess
+        rng = np.random.RandomState(0)
+        x = rng.randn(4000, 2).astype(np.float32)
+        e = np.asarray(ess(jnp.asarray(x)))
+        assert np.all(e > 2000) and np.all(e < 8000), e
+
+    def test_ar1_matches_theory(self):
+        from glabc_tpu.ops import ess
+        rng = np.random.RandomState(1)
+        phi = 0.9
+        n = 20000
+        eps = rng.randn(n).astype(np.float32)
+        x = np.zeros(n, np.float32)
+        for i in range(1, n):
+            x[i] = phi * x[i - 1] + eps[i]
+        e = float(ess(jnp.asarray(x[:, None]))[0])
+        tau_true = (1 + phi) / (1 - phi)  # = 19
+        assert n / e == pytest.approx(tau_true, rel=0.4), (n / e, tau_true)
+
+    def test_batched_over_chains(self):
+        from glabc_tpu.ops import ess
+        rng = np.random.RandomState(2)
+        x = rng.randn(3, 1000, 2).astype(np.float32)
+        e = np.asarray(ess(jnp.asarray(x)))
+        assert e.shape == (3, 2)
