@@ -10,6 +10,7 @@ normalizing-flow / KDE proposal adaptation running on-device.
 
 from .models import (
     ABCProblem,
+    GKProblem,
     DiagGaussian,
     Gamma,
     GaussianMixture,
@@ -42,6 +43,7 @@ __all__ = [
     "run_glmcmc_nf",
     "run_aglmcmc",
     "ABCProblem",
+    "GKProblem",
     "DiagGaussian",
     "Gamma",
     "GaussianMixture",

@@ -1,6 +1,6 @@
 from .distributions import Uniform, Gamma, DiagGaussian, GaussianMixture
 from .kde import KernelDensity
-from .problems import ABCProblem, MixtureProblem, HighDimMixtureProblem
+from .problems import ABCProblem, GKProblem, HighDimMixtureProblem, MixtureProblem
 
 __all__ = [
     "Uniform",
@@ -9,6 +9,7 @@ __all__ = [
     "GaussianMixture",
     "KernelDensity",
     "ABCProblem",
+    "GKProblem",
     "MixtureProblem",
     "HighDimMixtureProblem",
 ]

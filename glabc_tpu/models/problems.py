@@ -27,7 +27,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ABCProblem", "MixtureProblem", "HighDimMixtureProblem"]
+__all__ = ["ABCProblem", "MixtureProblem", "HighDimMixtureProblem",
+           "GKProblem"]
 
 _LOG_2PI = jnp.log(2.0 * jnp.pi)
 
@@ -121,6 +122,67 @@ class MixtureProblem(ABCProblem):
         return -0.5 * self.theta_dim * _LOG_2PI - 0.5 * jnp.sum(
             jnp.square(theta), axis=-1
         )
+
+    def discrepancy(self, y):
+        y = jnp.asarray(y, jnp.float32)
+        return jnp.sqrt(jnp.sum(jnp.square(y - self.y_obs), axis=-1))
+
+
+class GKProblem(ABCProblem):
+    """The g-and-k distribution: a standard likelihood-free benchmark.
+
+    The g-and-k family is defined by its quantile function
+    ``Q(z; A, B, g, k) = A + B (1 + 0.8 tanh(g z / 2)) (1 + z^2)^k z`` —
+    easy to simulate (transform standard normals), intractable to evaluate.
+    theta = (A, B, g, k); each dataset is ``num_draws`` draws summarized by
+    the seven octiles (order statistics at i/8 quantiles), a common summary
+    choice; discrepancy is the Euclidean distance between octile vectors.
+
+    Demonstrates the problem DSL beyond the Mixture family: box-uniform
+    prior (out-of-support proposals hit ``-inf``/``support_retries``), a
+    simulator with internal sampling + sort, and summary statistics.
+    """
+
+    def __init__(self, epsilon: float = 2.0, num_draws: int = 1000,
+                 theta_true=(3.0, 1.0, 2.0, 0.5), prior_low=0.0,
+                 prior_high=10.0, y_obs=None, key=None):
+        self.epsilon = float(epsilon)
+        self.theta_dim = 4
+        self.num_draws = int(num_draws)
+        self.prior_low = float(prior_low)
+        self.prior_high = float(prior_high)
+        if y_obs is None:
+            if key is None:
+                key = jax.random.PRNGKey(1234)
+            y_obs = self.simulate(key, jnp.asarray(theta_true, jnp.float32))
+        self.y_obs = jnp.asarray(y_obs, jnp.float32)
+
+    @staticmethod
+    def _quantile_fn(z, theta):
+        A, B, g, k = (theta[..., 0], theta[..., 1], theta[..., 2],
+                      theta[..., 3])
+        zz = jnp.moveaxis(z, -1, 0)  # (num_draws, ...)
+        q = (A + B * (1.0 + 0.8 * jnp.tanh(g * zz / 2.0))
+             * (1.0 + zz * zz) ** k * zz)
+        return jnp.moveaxis(q, 0, -1)  # (..., num_draws)
+
+    def simulate(self, key, theta):
+        theta = jnp.asarray(theta, jnp.float32)
+        batch = theta.shape[:-1]
+        z = jax.random.normal(key, batch + (self.num_draws,), jnp.float32)
+        draws = self._quantile_fn(z, theta)
+        draws = jnp.sort(draws, axis=-1)
+        # octiles: order statistics at i/8, i = 1..7
+        idx = (jnp.arange(1, 8) * self.num_draws) // 8
+        return draws[..., idx]
+
+    def prior_log_prob(self, theta):
+        theta = jnp.asarray(theta, jnp.float32)
+        inside = jnp.all(
+            (theta >= self.prior_low) & (theta <= self.prior_high), axis=-1
+        )
+        logp = -self.theta_dim * jnp.log(self.prior_high - self.prior_low)
+        return jnp.where(inside, logp, -jnp.inf)
 
     def discrepancy(self, y):
         y = jnp.asarray(y, jnp.float32)

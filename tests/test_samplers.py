@@ -102,3 +102,35 @@ def test_exact_likelihood_stationarity():
     ch = res.thetas.reshape(-1, 2)
     absmean = np.abs(ch).mean(0)
     assert np.all(absmean > 1.3) and np.all(absmean < 1.65)
+
+
+class TestGKProblem:
+    """g-and-k benchmark: posterior concentrates near the true parameters."""
+
+    def test_simulator_shapes_and_summaries(self):
+        from glabc_tpu import GKProblem
+        prob = GKProblem(epsilon=2.0, num_draws=500)
+        y = prob.simulate(KEY, jnp.array([3.0, 1.0, 2.0, 0.5]))
+        assert y.shape == (7,)
+        assert np.all(np.diff(np.asarray(y)) >= 0)  # octiles are ordered
+        yb = prob.simulate(KEY, jnp.tile(jnp.array([3.0, 1.0, 2.0, 0.5]), (6, 1)))
+        assert yb.shape == (6, 7)
+
+    def test_prior_support(self):
+        from glabc_tpu import GKProblem
+        prob = GKProblem()
+        assert np.isfinite(float(prob.prior_log_prob(jnp.full(4, 5.0))))
+        assert np.isneginf(float(prob.prior_log_prob(jnp.array([11.0, 5, 5, 5]))))
+
+    def test_glmcmc_recovers_location(self):
+        from glabc_tpu import GKProblem
+        prob = GKProblem(epsilon=1.0, num_draws=500)
+        ip = DiagGaussian.create(4, loc=5.0, log_scale=float(jnp.log(3.0)))
+        lpk = DiagGaussian.create(4, 0.0, float(jnp.log(0.25)))
+        res = run_glmcmc(prob, KEY, 800, jnp.full(4, 3.0), ip, lpk, 0.7, 5,
+                         num_chains=16, segment_size=800)
+        ch = res.thetas[:, 200:, :].reshape(-1, 4)
+        A_mean = float(ch[:, 0].mean())
+        # true A = 3; the location parameter is well identified by octiles
+        assert 2.0 < A_mean < 4.5, A_mean
+        assert np.all(np.isfinite(ch))
