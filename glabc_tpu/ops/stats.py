@@ -95,6 +95,7 @@ class ChainSummary:
     ci_upper: jnp.ndarray   # (d,)
     esjd: Optional[jnp.ndarray] = None
     acceptance_rate: Optional[float] = None
+    ess: Optional[jnp.ndarray] = None  # (d,) mean ESS per dimension
 
     def render(self) -> str:
         lines = []
@@ -106,6 +107,10 @@ class ChainSummary:
                 "  95% Confidence Interval: "
                 f"({float(self.ci_lower[i]):.4f}, {float(self.ci_upper[i]):.4f})"
             )
+            if self.ess is not None:
+                lines.append(
+                    f"  Effective Sample Size: {float(self.ess[i]):.2f}"
+                )
         if self.esjd is not None:
             lines.append(f"ESJD: {float(self.esjd):.6g}")
         if self.acceptance_rate is not None:
@@ -114,10 +119,13 @@ class ChainSummary:
 
 
 def chain_summary(chain: jnp.ndarray, acceptance_rate=None,
-                  with_esjd: bool = False) -> ChainSummary:
+                  with_esjd: bool = False,
+                  with_ess: bool = False) -> ChainSummary:
     """Per-dimension mean / variance / z=1.96 95% CI, pooled over all leading
     axes (chains x time).  Variance uses the unbiased estimator to match
-    ``torch.var`` in the reference report (``GLMCMC.py:113-127``)."""
+    ``torch.var`` in the reference report (``GLMCMC.py:113-127``).
+    ``with_ess`` adds the per-dimension ESS line the reference leaves
+    commented out (``GLMCMC.py:136``), summed over chains."""
     # accumulate on host in float64: naive float32 reductions over >1e7
     # samples visibly bias the mean (observed ~0.1 absolute error at 16M)
     import numpy as _np
@@ -128,6 +136,12 @@ def chain_summary(chain: jnp.ndarray, acceptance_rate=None,
     std = jnp.sqrt(var)
     z = 1.96
     ej = esjd(flat) if with_esjd else None
+    e = None
+    if with_ess:
+        arr = jnp.asarray(chain)
+        if arr.ndim == 2:
+            arr = arr[None]
+        e = jnp.sum(ess(arr), axis=0)  # total ESS across chains, per dim
     return ChainSummary(
         mean=mean,
         variance=var,
@@ -135,4 +149,5 @@ def chain_summary(chain: jnp.ndarray, acceptance_rate=None,
         ci_upper=mean + z * std,
         esjd=ej,
         acceptance_rate=acceptance_rate,
+        ess=e,
     )

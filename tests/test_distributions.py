@@ -130,3 +130,19 @@ def test_distributions_jittable():
         return jnp.sum(z) + jnp.sum(lp)
 
     f(d, KEY)  # must trace without error
+
+
+def test_problem_dsl_reference_aliases():
+    """The reference-style method names work on any ABCProblem."""
+    from glabc_tpu import MixtureProblem
+    prob = MixtureProblem(0.05)
+    key = jax.random.PRNGKey(3)
+    th = jnp.array([[0.5, 0.5], [1.0, -1.0]])
+    y = prob.generate_samples(key, th)          # alias for simulate
+    assert y.shape == (2, 2)
+    lk = prob.calculate_log_kernel(y)           # kernel of y
+    lk2 = prob.calculate_log_kernel_dis(prob.discrepancy(y))
+    np.testing.assert_allclose(np.asarray(lk), np.asarray(lk2), rtol=1e-6)
+    # multi-dataset alias
+    ys = prob.generate_samples(key, th[0], num_samples=3)
+    assert ys.shape == (3, 2)

@@ -144,3 +144,14 @@ class TestESS:
         x = rng.randn(3, 1000, 2).astype(np.float32)
         e = np.asarray(ess(jnp.asarray(x)))
         assert e.shape == (3, 2)
+
+
+def test_chain_summary_with_ess():
+    from glabc_tpu.ops import chain_summary
+    rng = np.random.RandomState(7)
+    chain = rng.randn(4, 800, 2).astype(np.float32)
+    s = chain_summary(jnp.asarray(chain), with_ess=True)
+    assert s.ess is not None and s.ess.shape == (2,)
+    # iid chains: total ESS near 4*800
+    assert np.all(np.asarray(s.ess) > 1200)
+    assert "Effective Sample Size" in s.render()
