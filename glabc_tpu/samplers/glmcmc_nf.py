@@ -69,6 +69,10 @@ class GLMCMCNFConfig:
     #            the scaled adaptation signal (the chains ARE approximate
     #            posterior draws); falls back to flow_is for few chains.
     train_on: str = "flow_is"
+    # Adam steps per training epoch.  The reference takes exactly ONE step
+    # per pool refresh (GLMCMC_NFs.py:115-123), so its flow barely moves in
+    # Train_step=50 epochs; >1 makes the proposal adaptation effective.
+    train_iters_per_epoch: int = 1
 
 
 def make_optimizer(cfg: GLMCMCNFConfig):
@@ -189,10 +193,12 @@ def run_glmcmc_nf(problem, key, num_ite, theta0, local_proposal,
                   num_chains: int = 1, n_layers: int = 32, hidden: int = 128,
                   on_segment=None, flow: CouplingFlow | None = None,
                   support_retries: int = 0,
-                  train_on: str = "flow_is") -> NFResult:
+                  train_on: str = "flow_is",
+                  train_iters_per_epoch: int = 1) -> NFResult:
     cfg = GLMCMCNFConfig(global_frequency, batch_size, step_size, train_steps,
                          n_layers, hidden, support_retries=support_retries,
-                         train_on=train_on)
+                         train_on=train_on,
+                         train_iters_per_epoch=train_iters_per_epoch)
     k_flow, k_chain, k_train = jax.random.split(jnp.asarray(key), 3)
     if flow is None:
         flow = CouplingFlow.create(k_flow, problem.theta_dim, n_layers, hidden,
@@ -232,14 +238,15 @@ def run_glmcmc_nf(problem, key, num_ite, theta0, local_proposal,
             on_segment(blocks[-1], done)
         done += take
         if done < total and num_train < train_steps:
-            k_train, k_ep = jax.random.split(k_train)
-            if cfg.train_on == "chain_states":
-                flow, opt_state, loss = train_states(
-                    flow, opt_state, carry.theta
-                )
-            else:
-                flow, opt_state, loss = train(flow, opt_state, k_ep)
-            losses.append(float(loss))
+            for _ in range(cfg.train_iters_per_epoch):
+                k_train, k_ep = jax.random.split(k_train)
+                if cfg.train_on == "chain_states":
+                    flow, opt_state, loss = train_states(
+                        flow, opt_state, carry.theta
+                    )
+                else:
+                    flow, opt_state, loss = train(flow, opt_state, k_ep)
+                losses.append(float(loss))
             num_train += 1
 
     thetas = np.concatenate([theta_init] + blocks, axis=1)
