@@ -26,7 +26,14 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                      on_segment=None, seed: int | None = None) -> SamplerResult:
     """GLMCMC via the fused Pallas kernel.  Returns a
     :class:`SamplerResult` with chains of length ``num_ite`` (initial state
-    at index 0), matching the scan path's conventions."""
+    at index 0), matching the scan path's conventions.
+
+    Note: the kernel always runs ``steps_per_call`` transitions per launch;
+    if ``num_ite - 1`` is not a multiple of it, the recorded history is
+    still gap-free and exactly ``num_ite`` long, but the final carry is up
+    to ``steps_per_call - 1`` (unrecorded) transitions ahead of the last
+    recorded state, and the move counters for the ragged call are scaled
+    pro-rata.  Use a multiple of ``steps_per_call`` for exact accounting."""
     d = problem.theta_dim
     sigma = getattr(problem, "_noise_std", None)
     if sigma is None:
