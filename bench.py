@@ -23,32 +23,34 @@ import numpy as np
 
 
 def bench_fused():
+    """Packed fused kernel (8/d chains per sublane group), history collected."""
     from glabc_tpu import MixtureProblem
-    from glabc_tpu.ops.pallas.mixture_kernel import (
-        FusedMixtureGLMCMC,
-        fused_state_init,
+    from glabc_tpu.ops.pallas.packed_kernel import (
+        PackedMixtureGLMCMC,
+        packed_state_init,
     )
 
     problem = MixtureProblem(0.05)
-    C = 16384
-    kern = FusedMixtureGLMCMC(
+    cols = 4096
+    kern = PackedMixtureGLMCMC(
         2, problem.y_obs, epsilon=0.05, sigma=float(np.sqrt(0.05)),
         global_frequency=0.9, batch_size=5, ip_scale=1.0, lp_scale=0.35,
         steps_per_call=256, block_chains=512, collect_history=True,
     )
-    theta, y, logk = fused_state_init(
-        problem, jax.random.PRNGKey(0), jnp.zeros(2), C
+    C = kern.pack * cols  # 16384 chains
+    theta, y, logk = packed_state_init(
+        problem, jax.random.PRNGKey(0), jnp.zeros(2), cols, kern.pack
     )
     # warmup / compile
-    theta, y, logk, hist, acc = kern.run(1, theta, y, logk)
+    theta, y, logk, hist, st = kern.run(1, theta, y, logk)
     jax.block_until_ready(theta)
 
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
         for i in range(4):
-            theta, y, logk, hist, acc = kern.run(10 + rep * 4 + i, theta, y,
-                                                 logk)
+            theta, y, logk, hist, st = kern.run(10 + rep * 4 + i, theta, y,
+                                                logk)
         jax.block_until_ready(hist)
         best = min(best, (time.perf_counter() - t0) / 4)
     return C * kern.T / best
