@@ -38,6 +38,44 @@ def test_fused_glmcmc_posterior():
     assert 0.003 < float(rates["overall"].mean()) < 0.05
 
 
+def test_fused_glmala_posterior_shared_coin():
+    import jax.numpy as jnp
+    from glabc_tpu import MixtureProblem
+    from glabc_tpu.samplers.glmala_fused import run_glmala_fused
+
+    prob = MixtureProblem(0.05)
+    res = run_glmala_fused(prob, jax.random.PRNGKey(2), 513, jnp.zeros(2),
+                           num_chains=2048, steps_per_call=64,
+                           block_chains=512, num_grad=50,
+                           coin_mode="shared")
+    assert res.thetas.shape == (2048, 513, 2)
+    ch = res.thetas[:, 128:, :].reshape(-1, 2).astype(np.float64)
+    absmean = np.abs(ch).mean(0)
+    assert np.all(absmean > 1.2) and np.all(absmean < 1.7), absmean
+    # shared coin: per-call global fraction ~0.8
+    gf_measured = np.asarray(res.counts.global_attempts).mean() / 512
+    assert 0.6 < gf_measured < 0.95, gf_measured
+
+
+def test_fused_glmala_per_chain_coin_matches_scan():
+    import jax.numpy as jnp
+    from glabc_tpu import DiagGaussian, MixtureProblem
+    from glabc_tpu.samplers.glmala import run_glmala
+    from glabc_tpu.samplers.glmala_fused import run_glmala_fused
+
+    prob = MixtureProblem(0.05)
+    ip = DiagGaussian.create(2, 0.0, 0.0)
+    fused = run_glmala_fused(prob, jax.random.PRNGKey(3), 257, jnp.zeros(2),
+                             num_chains=2048, steps_per_call=64,
+                             block_chains=512, num_grad=50,
+                             coin_mode="per_chain")
+    scan = run_glmala(prob, jax.random.PRNGKey(3), 257, jnp.zeros(2), ip,
+                      0.8, 5, 0.3, 50, num_chains=32, segment_size=256)
+    a = np.abs(fused.thetas[:, 64:, :].reshape(-1, 2)).mean(0)
+    b = np.abs(scan.thetas[:, 64:, :].reshape(-1, 2)).mean(0)
+    np.testing.assert_allclose(a, b, atol=0.15)
+
+
 def test_fused_matches_scan_path_statistically():
     import jax.numpy as jnp
     from glabc_tpu import DiagGaussian, MixtureProblem
