@@ -68,7 +68,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mixture_kernel import _gumbel, _normal, _uniform
+from .mixture_kernel import _gumbel, _normal_pair, _uniform
 
 __all__ = ["PackedMixtureGLMALA", "packed_grad_init"]
 
@@ -176,23 +176,30 @@ class PackedMixtureGLMALA:
         def std_normal_group_lp(z):
             return group_sum(log_norm - 0.5 * z * z)
 
-        def simulate(th):
-            return jnp.abs(th) + sigma * _normal((_SUB, C))
-
-        def scalar_uniform():
-            return group_bcast(_uniform((_SUB, C)))
-
-        def scalar_gumbel():
-            return group_bcast(_gumbel((_SUB, C)))
+        def scalar_pool(n, tile_fn):
+            """``n`` independent group-scalar tiles from ``ceil(n/d)`` draws
+            (see ``packed_kernel.scalar_pool``): extraction ``j`` rotates by
+            ``j`` so leader rows read disjoint PRNG rows; the transcendental
+            runs once per full tile."""
+            outs = []
+            tile = None
+            for i in range(n):
+                j = i % d
+                if j == 0:
+                    tile = tile_fn((_SUB, C))
+                rolled = tile if j == 0 else pltpu.roll(tile, _SUB - j,
+                                                        axis=0)
+                outs.append(group_bcast(rolled))
+            return outs
 
         def sl_gradient(th):
             """grad log p_ABC(th): CRN finite differences of the Gaussian
             synthetic likelihood + closed-form prior gradient.  Returns a
-            packed (8, C) gradient tile."""
+            packed (8, C) gradient tile.  Two replicates per loop iteration
+            share one Box-Muller draw (both branches used)."""
 
-            def rep_body(r, accs):
+            def accum(z_r, accs):
                 s1p, s2p, s1m, s2m = accs
-                z_r = sigma * _normal((_SUB, C))   # one CRN tile per replicate
                 for k in range(d):
                     sel = coord_sel[k]
                     y_p = jnp.abs(th + fd * sel) + z_r
@@ -207,10 +214,18 @@ class PackedMixtureGLMALA:
                     s2m = s2m + dis_m * dis_m * sel
                 return s1p, s2p, s1m, s2m
 
+            def rep_body(r, accs):
+                z1, z2 = _normal_pair((_SUB, C))
+                accs = accum(sigma * z1, accs)
+                return accum(sigma * z2, accs)
+
             zeros = jnp.zeros((_SUB, C), jnp.float32)
-            s1p, s2p, s1m, s2m = jax.lax.fori_loop(
-                0, n_g, rep_body, (zeros, zeros, zeros, zeros)
-            )
+            accs = (zeros, zeros, zeros, zeros)
+            accs = jax.lax.fori_loop(0, n_g // 2, rep_body, accs)
+            if n_g % 2:
+                z1, _ = _normal_pair((_SUB, C))
+                accs = accum(sigma * z1, accs)
+            s1p, s2p, s1m, s2m = accs
 
             def sl_lp(s1, s2):
                 mu = s1 / n_g
@@ -225,16 +240,18 @@ class PackedMixtureGLMALA:
         def global_move(theta, y, logk, grad):
             """iSIR with streaming Gumbel argmax; gradient stays stale
             (reference lazy cache, GLMALA.py:183-199)."""
+            gum = scalar_pool(B + 1, _gumbel)
             logw_old = prior_lp(theta) + logk - ip_lp(theta)
-            w_score = logw_old + scalar_gumbel()
+            w_score = logw_old + gum[0]
             w_theta, w_y, w_logk = theta, y, logk
             w_moved = jnp.zeros((_SUB, C), jnp.float32)
-            for _ in range(B):
-                thp = self.ip_loc + self.ip_scale * _normal((_SUB, C))
-                yp = simulate(thp)
+            for b in range(B):
+                n1, n2 = _normal_pair((_SUB, C))
+                thp = self.ip_loc + self.ip_scale * n1
+                yp = jnp.abs(thp) + sigma * n2
                 logkp = kernel_lp(yp)
                 logw = prior_lp(thp) + logkp - ip_lp(thp)
-                score = logw + scalar_gumbel()
+                score = logw + gum[b + 1]
                 upd = score > w_score
                 w_score = jnp.where(upd, score, w_score)
                 w_theta = jnp.where(upd, thp, w_theta)
@@ -245,17 +262,17 @@ class PackedMixtureGLMALA:
 
         def local_move(theta, y, logk, grad):
             """ABC-MALA drift proposal + MH with reverse-drift density."""
-            z = _normal((_SUB, C))
+            z, z_sim = _normal_pair((_SUB, C))
             log_fwd = std_normal_group_lp(z)
             theta_p = z * tau + theta + grad * (tau * tau / 2.0)
             grad_p = sl_gradient(theta_p)
-            y_p = simulate(theta_p)
+            y_p = jnp.abs(theta_p) + sigma * z_sim
             logk_p = kernel_lp(y_p)
             z_rev = (theta - theta_p - grad_p * (tau * tau / 2.0)) / tau
             log_rev = std_normal_group_lp(z_rev)
             log_acc = (prior_lp(theta_p) + logk_p + log_rev
                        - prior_lp(theta) - logk - log_fwd)
-            l_acc = jnp.log(scalar_uniform()) < log_acc
+            l_acc = jnp.log(scalar_pool(1, _uniform)[0]) < log_acc
             n_theta = jnp.where(l_acc, theta_p, theta)
             n_y = jnp.where(l_acc, y_p, y)
             n_logk = jnp.where(l_acc, logk_p, logk)
@@ -287,7 +304,7 @@ class PackedMixtureGLMALA:
                                                           grad)
                 l_th, l_y, l_lk, l_gr, l_mv = local_move(theta, y, logk,
                                                          grad)
-                is_g = scalar_uniform() < gf
+                is_g = scalar_pool(1, _uniform)[0] < gf
                 is_g_f = jnp.where(is_g, 1.0, 0.0)
                 theta = jnp.where(is_g, g_th, l_th)
                 y = jnp.where(is_g, g_y, l_y)

@@ -68,6 +68,20 @@ def _normal(shape):
     return r * jnp.cos((2.0 * np.pi) * u2)
 
 
+def _normal_pair(shape):
+    """TWO independent standard-normal tiles from ONE Box-Muller draw.
+
+    ``r cos(a)`` and ``r sin(a)`` are exactly independent N(0,1) — using
+    both branches halves the PRNG draws and the log/sqrt transcendentals
+    versus two ``_normal`` calls.  Use wherever a step consumes noise tiles
+    in pairs (proposal noise + simulator noise)."""
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    a = (2.0 * np.pi) * u2
+    return r * jnp.cos(a), r * jnp.sin(a)
+
+
 def _gumbel(shape):
     return -jnp.log(-jnp.log(_uniform(shape)))
 
@@ -160,10 +174,6 @@ class FusedMixtureGLMCMC:
             dis2 = jnp.sum(diff * diff, axis=0, keepdims=True)
             return (-0.5 * _LOG_2PI - np.log(eps)) - 0.5 * dis2 / (eps * eps)
 
-        def simulate(th):
-            z = _normal((self.d_pad, C))
-            return (jnp.abs(th) + sigma * z) * mask
-
         def body(t, state):
             theta, y, logk, acc, gatt, gacc, lacc = state
 
@@ -174,9 +184,9 @@ class FusedMixtureGLMCMC:
                 w_theta, w_y, w_logk = theta, y, logk
                 w_moved = jnp.zeros((1, C), jnp.float32)
                 for _ in range(B):
-                    thp = self.ip_loc + self.ip_scale * _normal((self.d_pad, C))
-                    thp = thp * mask
-                    yp = simulate(thp)
+                    n1, n2 = _normal_pair((self.d_pad, C))
+                    thp = (self.ip_loc + self.ip_scale * n1) * mask
+                    yp = (jnp.abs(thp) + sigma * n2) * mask
                     logkp = kernel_lp(yp)
                     logw = prior_lp(thp) + logkp - ip_lp(thp)
                     score = logw + _gumbel((1, C))
@@ -188,9 +198,9 @@ class FusedMixtureGLMCMC:
                     w_moved = jnp.where(upd, 1.0, w_moved)
             else:
                 # ------------ global branch: independence MH
-                thp = (self.ip_loc
-                       + self.ip_scale * _normal((self.d_pad, C))) * mask
-                yp = simulate(thp)
+                n1, n2 = _normal_pair((self.d_pad, C))
+                thp = (self.ip_loc + self.ip_scale * n1) * mask
+                yp = (jnp.abs(thp) + sigma * n2) * mask
                 logkp = kernel_lp(yp)
                 log_acc = (prior_lp(thp) + logkp + ip_lp(theta)
                            - ip_lp(thp) - prior_lp(theta) - logk)
@@ -201,8 +211,9 @@ class FusedMixtureGLMCMC:
                 w_moved = jnp.where(g_acc, 1.0, 0.0)
 
             # ---------------- local branch: random-walk MH
-            thl = (theta + self.lp_scale * _normal((self.d_pad, C))) * mask
-            yl = simulate(thl)
+            n1, n2 = _normal_pair((self.d_pad, C))
+            thl = (theta + self.lp_scale * n1) * mask
+            yl = (jnp.abs(thl) + sigma * n2) * mask
             logkl = kernel_lp(yl)
             log_acc = prior_lp(thl) + logkl - prior_lp(theta) - logk
             l_acc = jnp.log(_uniform((1, C))) < log_acc

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mixture_kernel import _gumbel, _normal, _uniform
+from .mixture_kernel import _gumbel, _normal_pair, _uniform
 
 __all__ = ["PackedMixtureGLMCMC", "packed_state_init", "unpack_history"]
 
@@ -125,30 +125,44 @@ class PackedMixtureGLMCMC:
             dis2 = group_sum(diff * diff)
             return (-0.5 * _LOG_2PI - np.log(eps)) - 0.5 * dis2 / (eps * eps)
 
-        def simulate(th):
-            return jnp.abs(th) + sigma * _normal((_SUB, C))
+        def scalar_pool(n, tile_fn):
+            """``n`` independent per-packed-chain scalar tiles (values equal
+            across each group's rows) from ``ceil(n/d)`` full-tile draws.
 
-        def scalar_uniform():
-            """One uniform per packed chain, equal across its group rows."""
-            return group_bcast(_uniform((_SUB, C)))
-
-        def scalar_gumbel():
-            return group_bcast(_gumbel((_SUB, C)))
+            Each group has ``d`` sublane rows but a group-scalar uses only
+            the leader row's entropy; extraction ``j`` rotates the tile by
+            ``j`` so its leader rows read rows ``{j, d+j, ...}`` — disjoint
+            PRNG bits across ``j``.  The transcendental (``tile_fn``) runs
+            once per full tile and is amortized over ``d`` scalars."""
+            outs = []
+            tile = None
+            for i in range(n):
+                j = i % d
+                if j == 0:
+                    tile = tile_fn((_SUB, C))
+                rolled = tile if j == 0 else pltpu.roll(tile, _SUB - j,
+                                                        axis=0)
+                outs.append(group_bcast(rolled))
+            return outs
 
         def body(t, state):
             theta, y, logk, acc, gatt, gacc, lacc = state
 
+            gum = scalar_pool(B + 1, _gumbel)
+            unis = scalar_pool(2, _uniform)
+
             # ---------------- global branch: iSIR streaming Gumbel argmax
             logw_old = prior_lp(theta) + logk - ip_lp(theta)
-            w_score = logw_old + scalar_gumbel()
+            w_score = logw_old + gum[0]
             w_theta, w_y, w_logk = theta, y, logk
             w_moved = jnp.zeros((_SUB, C), jnp.float32)
-            for _ in range(B):
-                thp = self.ip_loc + self.ip_scale * _normal((_SUB, C))
-                yp = simulate(thp)
+            for b in range(B):
+                n1, n2 = _normal_pair((_SUB, C))
+                thp = self.ip_loc + self.ip_scale * n1
+                yp = jnp.abs(thp) + sigma * n2
                 logkp = kernel_lp(yp)
                 logw = prior_lp(thp) + logkp - ip_lp(thp)
-                score = logw + scalar_gumbel()
+                score = logw + gum[b + 1]
                 upd = score > w_score           # group-uniform by construction
                 w_score = jnp.where(upd, score, w_score)
                 w_theta = jnp.where(upd, thp, w_theta)
@@ -157,17 +171,18 @@ class PackedMixtureGLMCMC:
                 w_moved = jnp.where(upd, 1.0, w_moved)
 
             # ---------------- local branch: RW-MH
-            thl = theta + self.lp_scale * _normal((_SUB, C))
-            yl = simulate(thl)
+            n1, n2 = _normal_pair((_SUB, C))
+            thl = theta + self.lp_scale * n1
+            yl = jnp.abs(thl) + sigma * n2
             logkl = kernel_lp(yl)
             log_acc = prior_lp(thl) + logkl - prior_lp(theta) - logk
-            l_acc = jnp.log(scalar_uniform()) < log_acc
+            l_acc = jnp.log(unis[0]) < log_acc
             l_theta = jnp.where(l_acc, thl, theta)
             l_y = jnp.where(l_acc, yl, y)
             l_logk = jnp.where(l_acc, logkl, logk)
 
             # ---------------- coin flip (group-uniform)
-            is_g = scalar_uniform() < gf
+            is_g = unis[1] < gf
             theta = jnp.where(is_g, w_theta, l_theta)
             y = jnp.where(is_g, w_y, l_y)
             logk = jnp.where(is_g, w_logk, l_logk)
