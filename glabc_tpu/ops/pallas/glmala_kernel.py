@@ -160,13 +160,24 @@ class PackedMixtureGLMALA:
 
         log_norm = -0.5 * _LOG_2PI
 
-        def prior_lp(th):
-            z = (th - self.prior_loc) / self.prior_scale
-            return group_sum(log_norm - np.log(self.prior_scale) - 0.5 * z * z)
+        # prior_lp - ip_lp as one per-row quadratic (2pi constants cancel)
+        # and prior_lp(a) - prior_lp(b) as one reduction — see
+        # packed_kernel.py for the derivation.
+        ps2 = self.prior_scale ** 2
+        is2 = self.ip_scale ** 2
+        q2 = 0.5 * (1.0 / is2 - 1.0 / ps2)
+        q1 = self.prior_loc / ps2 - self.ip_loc / is2
+        q0 = (np.log(self.ip_scale) - np.log(self.prior_scale)
+              - 0.5 * self.prior_loc ** 2 / ps2
+              + 0.5 * self.ip_loc ** 2 / is2)
 
-        def ip_lp(th):
-            z = (th - self.ip_loc) / self.ip_scale
-            return group_sum(log_norm - np.log(self.ip_scale) - 0.5 * z * z)
+        def prior_minus_ip_lp(th):
+            return group_sum((q2 * th + q1) * th + q0)
+
+        def prior_diff_lp(a, b):
+            za = a - self.prior_loc
+            zb = b - self.prior_loc
+            return group_sum((zb * zb - za * za) * (0.5 / ps2))
 
         def kernel_lp(y):
             diff = y - y_obs
@@ -241,7 +252,7 @@ class PackedMixtureGLMALA:
             """iSIR with streaming Gumbel argmax; gradient stays stale
             (reference lazy cache, GLMALA.py:183-199)."""
             gum = scalar_pool(B + 1, _gumbel)
-            logw_old = prior_lp(theta) + logk - ip_lp(theta)
+            logw_old = prior_minus_ip_lp(theta) + logk
             w_score = logw_old + gum[0]
             w_theta, w_y, w_logk = theta, y, logk
             w_moved = jnp.zeros((_SUB, C), jnp.float32)
@@ -250,7 +261,7 @@ class PackedMixtureGLMALA:
                 thp = self.ip_loc + self.ip_scale * n1
                 yp = jnp.abs(thp) + sigma * n2
                 logkp = kernel_lp(yp)
-                logw = prior_lp(thp) + logkp - ip_lp(thp)
+                logw = prior_minus_ip_lp(thp) + logkp
                 score = logw + gum[b + 1]
                 upd = score > w_score
                 w_score = jnp.where(upd, score, w_score)
@@ -270,8 +281,8 @@ class PackedMixtureGLMALA:
             logk_p = kernel_lp(y_p)
             z_rev = (theta - theta_p - grad_p * (tau * tau / 2.0)) / tau
             log_rev = std_normal_group_lp(z_rev)
-            log_acc = (prior_lp(theta_p) + logk_p + log_rev
-                       - prior_lp(theta) - logk - log_fwd)
+            log_acc = (prior_diff_lp(theta_p, theta) + logk_p + log_rev
+                       - logk - log_fwd)
             l_acc = jnp.log(scalar_pool(1, _uniform)[0]) < log_acc
             n_theta = jnp.where(l_acc, theta_p, theta)
             n_y = jnp.where(l_acc, y_p, y)

@@ -110,15 +110,25 @@ class PackedMixtureGLMCMC:
                 out = out + pltpu.roll(s, j, axis=0)
             return out
 
-        log_norm = -0.5 * _LOG_2PI
+        # prior_lp(th) - ip_lp(th) collapses to ONE per-row quadratic
+        # (the 2pi constants cancel), so the iSIR log-weight needs a single
+        # group reduction instead of two.
+        ps2 = self.prior_scale ** 2
+        is2 = self.ip_scale ** 2
+        q2 = 0.5 * (1.0 / is2 - 1.0 / ps2)
+        q1 = self.prior_loc / ps2 - self.ip_loc / is2
+        q0 = (np.log(self.ip_scale) - np.log(self.prior_scale)
+              - 0.5 * self.prior_loc ** 2 / ps2
+              + 0.5 * self.ip_loc ** 2 / is2)
 
-        def prior_lp(th):
-            z = (th - self.prior_loc) / self.prior_scale
-            return group_sum(log_norm - np.log(self.prior_scale) - 0.5 * z * z)
+        def prior_minus_ip_lp(th):
+            return group_sum((q2 * th + q1) * th + q0)
 
-        def ip_lp(th):
-            z = (th - self.ip_loc) / self.ip_scale
-            return group_sum(log_norm - np.log(self.ip_scale) - 0.5 * z * z)
+        # prior_lp(a) - prior_lp(b) as one reduction (local MH ratio)
+        def prior_diff_lp(a, b):
+            za = (a - self.prior_loc)
+            zb = (b - self.prior_loc)
+            return group_sum((zb * zb - za * za) * (0.5 / ps2))
 
         def kernel_lp(y):
             diff = y - y_obs
@@ -152,7 +162,7 @@ class PackedMixtureGLMCMC:
             unis = scalar_pool(2, _uniform)
 
             # ---------------- global branch: iSIR streaming Gumbel argmax
-            logw_old = prior_lp(theta) + logk - ip_lp(theta)
+            logw_old = prior_minus_ip_lp(theta) + logk
             w_score = logw_old + gum[0]
             w_theta, w_y, w_logk = theta, y, logk
             w_moved = jnp.zeros((_SUB, C), jnp.float32)
@@ -161,7 +171,7 @@ class PackedMixtureGLMCMC:
                 thp = self.ip_loc + self.ip_scale * n1
                 yp = jnp.abs(thp) + sigma * n2
                 logkp = kernel_lp(yp)
-                logw = prior_lp(thp) + logkp - ip_lp(thp)
+                logw = prior_minus_ip_lp(thp) + logkp
                 score = logw + gum[b + 1]
                 upd = score > w_score           # group-uniform by construction
                 w_score = jnp.where(upd, score, w_score)
@@ -175,7 +185,7 @@ class PackedMixtureGLMCMC:
             thl = theta + self.lp_scale * n1
             yl = jnp.abs(thl) + sigma * n2
             logkl = kernel_lp(yl)
-            log_acc = prior_lp(thl) + logkl - prior_lp(theta) - logk
+            log_acc = prior_diff_lp(thl, theta) + logkl - logk
             l_acc = jnp.log(unis[0]) < log_acc
             l_theta = jnp.where(l_acc, thl, theta)
             l_y = jnp.where(l_acc, yl, y)

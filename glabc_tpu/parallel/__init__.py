@@ -9,7 +9,9 @@ from .mesh import (
 from .sharded import (
     distributed_systematic_resample,
     distributed_quantile,
+    make_sharded_chain_state_trainer,
     make_sharded_flow_trainer,
+    make_sharded_shared_epoch,
     sharded_hat_eps_update,
     sharded_sample,
 )
@@ -23,7 +25,9 @@ __all__ = [
     "shard_chains",
     "distributed_quantile",
     "distributed_systematic_resample",
+    "make_sharded_chain_state_trainer",
     "make_sharded_flow_trainer",
+    "make_sharded_shared_epoch",
     "sharded_hat_eps_update",
     "sharded_sample",
 ]

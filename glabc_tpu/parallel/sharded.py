@@ -39,6 +39,8 @@ from .mesh import CHAIN_AXIS, shard_chains
 __all__ = [
     "sharded_sample",
     "make_sharded_flow_trainer",
+    "make_sharded_chain_state_trainer",
+    "make_sharded_shared_epoch",
     "distributed_quantile",
     "distributed_systematic_resample",
     "sharded_hat_eps_update",
@@ -140,6 +142,139 @@ def make_sharded_flow_trainer(problem, cfg, optimizer, mesh):
         return sharded(flow, opt_state, keys)
 
     return train
+
+
+def make_sharded_chain_state_trainer(optimizer, mesh):
+    """Data-parallel version of
+    :func:`glabc_tpu.samplers.glmcmc_nf.make_chain_state_trainer`: each
+    device computes the forward-KLD gradient on ITS shard of the pooled
+    chain states (the chain axis is sharded over the mesh), gradients are
+    ``pmean``-ed over ICI, and every device applies the identical Adam
+    update.  Returns ``train(flow, opt_state, states) -> (flow, opt_state,
+    loss)`` with ``states (C, d)`` chain-sharded."""
+
+    def worker(flow, opt_state, states_local):
+        train_t = jax.lax.stop_gradient(states_local)
+        loss, grads = jax.value_and_grad(
+            lambda f: f.forward_kld(train_t)
+        )(flow)
+        loss = jax.lax.pmean(loss, CHAIN_AXIS)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, CHAIN_AXIS), grads
+        )
+        good = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(good, jnp.nan_to_num(g), 0.0), grads
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, flow)
+        new_flow = optax.apply_updates(flow, updates)
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda u, v: jnp.where(good, u, v), a, b
+        )
+        return sel(new_flow, flow), sel(new_opt_state, opt_state), loss
+
+    sharded = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(), P(CHAIN_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_shared_epoch(problem, cfg, shared_support: int, mesh):
+    """Sharded AGLMCMC shared-adaptation epoch
+    (:func:`glabc_tpu.samplers.aglmcmc._shared_epoch_update` computed with
+    collectives instead of a host gather):
+
+    * epsilon annealing: global count + :func:`distributed_quantile` over
+      every device's pool discrepancies (reference rule ``AGLMCMC.py:174-196``
+      over the union of pools);
+    * training weights computed locally, normalized by a global ``psum``;
+    * the shared KDE support is drawn by
+      :func:`distributed_systematic_resample` (every device keeps its slice
+      of the same systematic grid) and ``all_gather``-ed so all devices fit
+      the IDENTICAL ``shared_support``-point KDE;
+    * each device redraws its own chains' pools from the shared KDE.
+
+    Returns ``epoch(key, pools, hat_eps) -> (new_pools, kde, new_hat_eps)``
+    with ``pools`` chain-sharded, ``kde``/``hat_eps`` replicated — the same
+    signature as the host-driven shared epoch, so ``run_aglmcmc`` swaps them
+    interchangeably.
+    """
+    from ..models.kde import KernelDensity
+    from ..samplers.aglmcmc import _pool_from_proposals, _PRIOR_CUTOFF
+
+    n_dev = mesh.devices.size
+    assert shared_support % n_dev == 0, (
+        "shared_support must divide by the mesh size")
+    per_dev = shared_support // n_dev
+
+    def worker(key, pools_local, hat_eps):
+        d = pools_local.theta.shape[-1]
+        P_pool = pools_local.theta.shape[1]
+        my = jax.lax.axis_index(CHAIN_AXIS)
+        k_res, k_loc = jax.random.split(key)
+        k_loc = jax.random.fold_in(k_loc, my)
+        k_sample, _ = jax.random.split(k_loc)
+
+        dis_local = pools_local.dis.reshape(-1)
+        n_local = dis_local.shape[0]
+
+        # (1) global epsilon annealing
+        def anneal(eps):
+            num_a = jax.lax.psum(jnp.sum(dis_local < eps), CHAIN_AXIS)
+            n = jax.lax.psum(n_local, CHAIN_AXIS)
+            q = jnp.clip(cfg.alpha * num_a / n, 0.0, 1.0)
+            return jnp.maximum(distributed_quantile(dis_local, q),
+                               cfg.hat_eps_T)
+
+        hat_eps = jnp.where(hat_eps > cfg.hat_eps_T, anneal(hat_eps),
+                            hat_eps)
+
+        # (2) local training weights at hat_eps
+        theta_local = pools_local.theta.reshape(-1, d)
+        train_log_w = (
+            problem.prior_log_prob(theta_local)
+            + problem.kernel_log_prob(dis_local, hat_eps)
+            - pools_local.log_q.reshape(-1)
+        )
+        w_local = jnp.exp(train_log_w)
+        w_local = jnp.where(jnp.isnan(w_local), 0.0, w_local)
+
+        # (3) shared KDE support by distributed systematic resampling
+        # (common grid from the replicated k_res), gathered so every
+        # device fits the identical KDE
+        idx_global = distributed_systematic_resample(k_res, w_local, per_dev)
+        theta_global = jax.lax.all_gather(theta_local,
+                                          CHAIN_AXIS).reshape(-1, d)
+        support = jax.lax.all_gather(
+            theta_global[idx_global], CHAIN_AXIS
+        ).reshape(shared_support, d)
+        kde = KernelDensity.fit(support, None, bandwidth="silverman")
+
+        # (4) local per-chain pool redraw from the shared KDE
+        def redraw(kk):
+            k_s, k_x = jax.random.split(kk)
+            cand = kde.sample(k_s, cfg.oversample * P_pool)
+            ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
+            order = jnp.argsort(~ok, stable=True)
+            new_theta = cand[order[:P_pool]]
+            new_log_q = kde.log_prob(new_theta)
+            return _pool_from_proposals(problem, k_x, new_theta, new_log_q)
+
+        C_local = pools_local.theta.shape[0]
+        new_pools = jax.vmap(redraw)(jax.random.split(k_sample, C_local))
+        return new_pools, kde, hat_eps
+
+    pool_spec = P(CHAIN_AXIS)
+    sharded = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), pool_spec, P()),
+        out_specs=(pool_spec, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def distributed_quantile(x_local, q, axis_name: str = CHAIN_AXIS):

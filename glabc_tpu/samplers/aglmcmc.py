@@ -253,7 +253,7 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                 num_chains: int = 1, on_segment=None, oversample: int = 4,
                 support_retries: int = 0, epoch_chunk: int = 0,
                 shared_adaptation: bool = False,
-                shared_support: int = 4096) -> AGLResult:
+                shared_support: int = 4096, mesh=None) -> AGLResult:
     """``epoch_chunk > 0`` runs the per-chain adaptation epochs (KDE fit +
     oversampled redraw) in sequential chunks of that many chains via
     ``lax.map`` — bounds memory for 10^4+ chain runs.
@@ -263,7 +263,15 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
     compressed to ``shared_support`` points by systematic resampling) shared
     by every chain — the scaled algorithm the reference's single chain
     cannot express; each chain keeps its own pool drawn from the shared KDE
-    so the per-chain Markov kernel is unchanged in form."""
+    so the per-chain Markov kernel is unchanged in form.
+
+    ``mesh``: a 1-D :class:`jax.sharding.Mesh` shards chains (and their
+    pools) over devices.  Per-chain adaptation partitions with zero
+    collectives; with ``shared_adaptation=True`` the epoch runs inside
+    ``shard_map`` — global epsilon quantile, distributed systematic
+    resampling of the shared KDE support, replicated KDE fit
+    (:func:`glabc_tpu.parallel.make_sharded_shared_epoch`).  Incompatible
+    with ``epoch_chunk``."""
     cfg = AGLMCMCConfig(global_frequency, batch_size, step_size, alpha,
                         hat_eps_T, oversample, support_retries)
     P = batch_size * step_size
@@ -288,6 +296,14 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
 
     pools = init_pools(k_pool)
 
+    if mesh is not None:
+        from ..parallel.mesh import shard_chains
+        assert C % mesh.devices.size == 0, (
+            "num_chains must divide by the mesh size")
+        assert not epoch_chunk, "epoch_chunk is incompatible with mesh"
+        carry = shard_chains(carry, mesh)
+        pools = shard_chains(pools, mesh)
+
     # placeholder KDE (uniform weights over the initial pool) so the first
     # segment's step signature matches later ones; it is unused (use_kde=False)
     if shared_adaptation:
@@ -301,10 +317,16 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
         functools.partial(_epoch_update, problem, cfg), in_axes=(0, 0, 0)
     )
     if shared_adaptation:
-        shared_epoch = jax.jit(
-            functools.partial(_shared_epoch_update, problem, cfg,
-                              shared_support)
-        )
+        if mesh is not None:
+            from ..parallel.sharded import make_sharded_shared_epoch
+            shared_epoch = make_sharded_shared_epoch(
+                problem, cfg, shared_support, mesh
+            )
+        else:
+            shared_epoch = jax.jit(
+                functools.partial(_shared_epoch_update, problem, cfg,
+                                  shared_support)
+            )
         epoch_fn = None
     elif epoch_chunk and epoch_chunk < C:
         assert C % epoch_chunk == 0, "num_chains must divide by epoch_chunk"

@@ -194,7 +194,12 @@ def run_glmcmc_nf(problem, key, num_ite, theta0, local_proposal,
                   on_segment=None, flow: CouplingFlow | None = None,
                   support_retries: int = 0,
                   train_on: str = "flow_is",
-                  train_iters_per_epoch: int = 1) -> NFResult:
+                  train_iters_per_epoch: int = 1, mesh=None) -> NFResult:
+    """``mesh``: a 1-D :class:`jax.sharding.Mesh` shards the chain axis over
+    devices; the transition scan partitions with zero collectives and the
+    per-epoch flow refit runs data-parallel inside ``shard_map`` — per-device
+    pool/state shards, ``pmean``-ed gradients, replicated flow (the
+    end-to-end distributed adaptation of SURVEY §2d)."""
     cfg = GLMCMCNFConfig(global_frequency, batch_size, step_size, train_steps,
                          n_layers, hidden, support_retries=support_retries,
                          train_on=train_on,
@@ -205,12 +210,25 @@ def run_glmcmc_nf(problem, key, num_ite, theta0, local_proposal,
                                    base=base)
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(flow)
-    train = jax.jit(make_flow_trainer(problem, cfg, optimizer))
-    train_states = jax.jit(make_chain_state_trainer(cfg, optimizer))
+    if mesh is not None:
+        from ..parallel.sharded import (
+            make_sharded_chain_state_trainer,
+            make_sharded_flow_trainer,
+        )
+        assert num_chains % mesh.devices.size == 0, (
+            "num_chains must divide by the mesh size")
+        train = make_sharded_flow_trainer(problem, cfg, optimizer, mesh)
+        train_states = make_sharded_chain_state_trainer(optimizer, mesh)
+    else:
+        train = jax.jit(make_flow_trainer(problem, cfg, optimizer))
+        train_states = jax.jit(make_chain_state_trainer(cfg, optimizer))
 
     step = build_nf_step(problem, local_proposal, cfg)
     carry = init_chain_carry(problem, k_chain, theta0, y0, num_chains)
     theta_init = np.asarray(carry.theta)[:, None, :]
+    if mesh is not None:
+        from ..parallel.mesh import shard_chains
+        carry = shard_chains(carry, mesh)
 
     batched = jax.vmap(step, in_axes=(None, 0, None))
 

@@ -38,6 +38,31 @@ def test_fused_glmcmc_posterior():
     assert 0.003 < float(rates["overall"].mean()) < 0.05
 
 
+def test_packed_glmcmc_posterior():
+    import jax.numpy as jnp
+    from glabc_tpu import MixtureProblem
+    from glabc_tpu.ops.pallas.packed_kernel import (
+        PackedMixtureGLMCMC, packed_state_init, unpack_history)
+
+    prob = MixtureProblem(0.05)
+    kern = PackedMixtureGLMCMC(2, prob.y_obs, epsilon=0.05,
+                               sigma=float(np.sqrt(0.05)),
+                               global_frequency=0.9, batch_size=5,
+                               steps_per_call=256, block_chains=512)
+    theta, y, logk = packed_state_init(prob, jax.random.PRNGKey(0),
+                                       jnp.zeros(2), 512, kern.pack)
+    chains = []
+    for i in range(6):
+        theta, y, logk, hist, st = kern.run(np.int32(1 + i), theta, y, logk)
+        if i >= 2:  # burn-in: 2 * 256 steps
+            chains.append(unpack_history(np.asarray(hist), 2))
+    ch = np.concatenate(chains, axis=1).reshape(-1, 2).astype(np.float64)
+    absmean = np.abs(ch).mean(0)
+    var = ch.var(0)
+    assert np.all(absmean > 1.3) and np.all(absmean < 1.6), absmean
+    assert np.all(var > 1.8) and np.all(var < 2.4), var
+
+
 def test_fused_glmala_posterior_shared_coin():
     import jax.numpy as jnp
     from glabc_tpu import MixtureProblem

@@ -123,6 +123,55 @@ def test_run_glmcmc_with_mesh(mesh):
     np.testing.assert_array_equal(a.thetas, b.thetas)
 
 
+def test_run_glmcmc_nf_with_mesh_flow_is(mesh):
+    """End-to-end sharded GLMCMC-NF: chains sharded, flow refit inside
+    shard_map with pmean'd gradients."""
+    from glabc_tpu.samplers.glmcmc_nf import run_glmcmc_nf
+    res = run_glmcmc_nf(PROB, KEY, 61, jnp.zeros(2), LP,
+                        global_frequency=0.5, batch_size=4, step_size=10,
+                        train_steps=3, num_chains=16, n_layers=2, hidden=16,
+                        mesh=mesh)
+    assert res.thetas.shape == (16, 61, 2)
+    assert np.all(np.isfinite(res.thetas))
+    assert res.loss_hist.size >= 1 and np.all(np.isfinite(res.loss_hist))
+
+
+def test_run_glmcmc_nf_with_mesh_chain_states(mesh):
+    from glabc_tpu.samplers.glmcmc_nf import run_glmcmc_nf
+    res = run_glmcmc_nf(PROB, KEY, 41, jnp.zeros(2), LP,
+                        global_frequency=0.5, batch_size=4, step_size=10,
+                        train_steps=2, num_chains=16, n_layers=2, hidden=16,
+                        train_on="chain_states", mesh=mesh)
+    assert np.all(np.isfinite(res.thetas))
+    assert np.all(np.isfinite(res.loss_hist))
+
+
+def test_run_aglmcmc_with_mesh_shared_adaptation(mesh):
+    """End-to-end sharded AGLMCMC with the shared-adaptation epoch inside
+    shard_map: global epsilon quantile, distributed resampling of the KDE
+    support, replicated KDE, per-device pool redraw."""
+    from glabc_tpu.samplers.aglmcmc import run_aglmcmc
+    res = run_aglmcmc(PROB, KEY, 81, jnp.zeros(2), LP, IP,
+                      global_frequency=1.0, batch_size=4, step_size=20,
+                      alpha=0.8, hat_eps_T=0.2, num_chains=16,
+                      shared_adaptation=True, shared_support=64, mesh=mesh)
+    assert res.thetas.shape == (16, 81, 2)
+    assert np.all(np.isfinite(res.thetas))
+    # annealing must have moved hat_eps off the 1e6 initial value
+    assert res.hat_eps_hist is not None
+    assert float(res.hat_eps_hist[-1]) < 1.0e6
+
+
+def test_run_aglmcmc_with_mesh_per_chain(mesh):
+    """Per-chain adaptation under a mesh: elementwise over chains, no
+    collectives; just verify it runs sharded and stays finite."""
+    from glabc_tpu.samplers.aglmcmc import run_aglmcmc
+    res = run_aglmcmc(PROB, KEY, 41, jnp.zeros(2), LP, IP,
+                      global_frequency=1.0, batch_size=4, step_size=10,
+                      num_chains=16, mesh=mesh)
+    assert np.all(np.isfinite(res.thetas))
+
+
 def test_distributed_systematic_resample_matches_global(mesh):
     """Sharded resample == single-array systematic_resample on the same
     grid (same u0), and every device agrees on the global index vector."""
