@@ -16,6 +16,7 @@ adaptation state) as a ``.npz`` of pytree leaves.
 from __future__ import annotations
 
 import csv
+import json
 import os
 import pickle
 from typing import Any
@@ -23,7 +24,59 @@ from typing import Any
 import jax
 import numpy as np
 
-__all__ = ["ChainWriter", "save_carry", "load_carry"]
+__all__ = ["ChainWriter", "read_binary_chains", "save_carry", "load_carry"]
+
+
+class _NativeMultiChainSink:
+    """All-chain native sink: appends raw float32 ``(C, S, d)`` blocks
+    (chain-major) to ONE binary file via the C++ async writer, with segment
+    shapes recorded in a ``<path>.meta.json`` sidecar so
+    :func:`read_binary_chains` can reconstruct the ``(C, T, d)`` history.
+
+    One file + one background thread regardless of chain count — the
+    scalable alternative to per-chain CSVs at 10^4+ chains."""
+
+    def __init__(self, path: str, num_chains: int, dim: int):
+        from ..native import NativeChainWriter
+
+        self.path = path
+        self.num_chains = int(num_chains)
+        self.dim = int(dim)
+        self._segments = []
+        self._w = NativeChainWriter(path, self.dim, binary=True)
+
+    def write_block(self, block: np.ndarray) -> None:
+        """block: (C, S, d)."""
+        C, S, d = block.shape
+        assert C == self.num_chains and d == self.dim
+        self._w.write(np.ascontiguousarray(block, np.float32).reshape(-1, d))
+        self._segments.append(int(S))
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close()
+            self._w = None
+            with open(self.path + ".meta.json", "w", encoding="utf-8") as f:
+                json.dump({"num_chains": self.num_chains, "dim": self.dim,
+                           "dtype": "float32",
+                           "segments": self._segments}, f)
+
+
+def read_binary_chains(path: str) -> np.ndarray:
+    """Load a ``(C, T, d)`` chain history written by the native all-chain
+    binary sink (``ChainWriter(..., chains='all', use_native=True)``)."""
+    with open(path + ".meta.json", encoding="utf-8") as f:
+        meta = json.load(f)
+    C, d = meta["num_chains"], meta["dim"]
+    raw = np.fromfile(path, dtype=np.float32)
+    blocks = []
+    off = 0
+    for S in meta["segments"]:
+        n = C * S * d
+        blocks.append(raw[off:off + n].reshape(C, S, d))
+        off += n
+    assert off == raw.size, "binary chain file truncated vs sidecar"
+    return np.concatenate(blocks, axis=1)
 
 
 class ChainWriter:
@@ -35,26 +88,30 @@ class ChainWriter:
     """
 
     def __init__(self, filelocation: str, chains=None, use_native: bool = False):
-        """``use_native=True`` routes single-file mode through the C++
-        asynchronous writer (``glabc_tpu.native``): formatting + disk IO run
-        on a background thread so segment handoff never blocks the device
-        loop.  Falls back silently to the Python csv writer if the native
-        library cannot be built."""
+        """``use_native=True`` routes IO through the C++ asynchronous writer
+        (``glabc_tpu.native``): formatting + disk IO run on a background
+        thread so segment handoff never blocks the device loop.  With
+        ``chains=None`` it writes the reference-format CSV for chain 0; with
+        ``chains='all'`` it writes ONE binary file of raw float32 ``(C,S,d)``
+        blocks plus a ``.meta.json`` sidecar (load with
+        :func:`read_binary_chains`) — one file and one writer thread
+        regardless of chain count.  Falls back silently to the Python csv
+        writer if the native library cannot be built."""
         self.filelocation = filelocation
         self.chains = chains
         self._files = {}
         self._native = None
-        if use_native and chains is None:
+        self._native_cls = None
+        self._native_multi = use_native and chains == "all"
+        if use_native and (chains is None or chains == "all"):
             try:
                 from ..native import NativeChainWriter, native_available
                 if native_available():
                     self._native_cls = NativeChainWriter
-                else:
-                    self._native_cls = None
             except ImportError:
-                self._native_cls = None
-        else:
-            self._native_cls = None
+                pass
+        if self._native_cls is None:
+            self._native_multi = False
 
     def _path(self, chain_idx: int) -> str:
         if self.chains is None:
@@ -72,6 +129,12 @@ class ChainWriter:
     def write_initial(self, theta0: np.ndarray) -> None:
         """Write the initial theta row(s).  ``theta0``: (C, d)."""
         theta0 = np.atleast_2d(np.asarray(theta0))
+        if self._native_multi:
+            self._native = _NativeMultiChainSink(
+                self.filelocation, theta0.shape[0], theta0.shape[-1]
+            )
+            self._native.write_block(theta0[:, None, :].astype(np.float32))
+            return
         if self._native_cls is not None:
             self._native = self._native_cls(self.filelocation,
                                             theta0.shape[-1])
@@ -83,6 +146,9 @@ class ChainWriter:
 
     def on_segment(self, block: np.ndarray, start_index: int) -> None:
         """Append a (C, S, d) segment."""
+        if self._native_multi and self._native is not None:
+            self._native.write_block(np.asarray(block, dtype=np.float32))
+            return
         if self._native is not None:
             self._native.write(np.asarray(block[0], dtype=np.float32))
             return

@@ -32,6 +32,30 @@ def test_binary_roundtrip(tmp_path):
     np.testing.assert_array_equal(got, data)
 
 
+def test_native_multichain_binary_roundtrip(tmp_path):
+    """chains='all' + use_native: one binary file of (C,S,d) blocks +
+    sidecar, read back exactly via read_binary_chains."""
+    from glabc_tpu.utils.io import read_binary_chains
+
+    path = str(tmp_path / "all.bin")
+    rng = np.random.RandomState(2)
+    C, d = 16, 3
+    theta0 = rng.randn(C, d).astype(np.float32)
+    seg1 = rng.randn(C, 40, d).astype(np.float32)
+    seg2 = rng.randn(C, 25, d).astype(np.float32)
+
+    w = ChainWriter(path, chains="all", use_native=True)
+    w.write_initial(theta0)
+    w.on_segment(seg1, 0)
+    w.on_segment(seg2, 40)
+    w.close()
+
+    got = read_binary_chains(path)
+    expected = np.concatenate([theta0[:, None, :], seg1, seg2], axis=1)
+    assert got.shape == (C, 66, d)
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_async_queue_drains(tmp_path):
     path = str(tmp_path / "q.csv")
     w = NativeChainWriter(path, 2)
