@@ -33,6 +33,9 @@ def main():
     p.add_argument("--chains", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default="./results")
+    p.add_argument("--method", default="scan", choices=["scan", "fused"],
+                   help="fused = Pallas kernels for GLMCMC/GLMALA (TPU; "
+                        "chains must be a multiple of 512 / 2048)")
     args = p.parse_args()
 
     model = MixtureProblem(epsilon=0.05)
@@ -61,12 +64,14 @@ def main():
     if which in ("glmcmc", "all"):
         t = time.time()
         ch = runner.run_glmcmc(args.num_ite, theta0, None, 0.9, lp, ip, 5,
-                               output_file="glmcmc_results.csv")
+                               output_file="glmcmc_results.csv",
+                               method=args.method)
         report("GLMCMC", ch, time.time() - t)
     if which in ("glmala", "all"):
         t = time.time()
         ch = runner.run_glmala(args.num_ite, theta0, None, 0.8, ip, 5, 0.3,
-                               100, output_file="glmala_results.csv")
+                               100, output_file="glmala_results.csv",
+                               method=args.method)
         report("GLMALA", ch, time.time() - t)
     if which in ("nf", "all"):
         t = time.time()

@@ -104,6 +104,19 @@ class MCMCRunner:
         chains = result.thetas
         return chains[0] if chains.shape[0] == 1 else chains
 
+    @staticmethod
+    def _isotropic(dist, name: str):
+        """Extract scalar (loc, scale) from a DiagGaussian; the fused Pallas
+        kernels take isotropic Gaussian proposals."""
+        loc = np.asarray(dist.loc)
+        scale = np.exp(np.asarray(dist.log_scale))
+        if not (np.all(loc == loc.flat[0]) and np.all(scale == scale.flat[0])):
+            raise ValueError(
+                f"method='fused' needs an isotropic {name} "
+                f"(constant loc/scale across dims); use method='scan'"
+            )
+        return float(loc.flat[0]), float(scale.flat[0])
+
     # ------------------------------------------------------------- runners
     def run_global_mcmc(self, num_iterations, initial_theta, initial_y,
                         global_frequency, local_proposal, global_proposal,
@@ -122,15 +135,35 @@ class MCMCRunner:
     def run_glmcmc(self, num_iterations, initial_theta, initial_y,
                    global_frequency, local_proposal, importance_proposal,
                    batch_size, output_file: Optional[str] = "glmcmc_results.csv",
-                   key=None, **kwargs):
-        """Run GLMCMC (reference ``MCMCRunner.py:35-53``)."""
+                   key=None, method: str = "scan", **kwargs):
+        """Run GLMCMC (reference ``MCMCRunner.py:35-53``).
+
+        ``method='fused'`` routes through the packed Pallas kernel
+        (Mixture-family problems, isotropic Gaussian proposals,
+        ``num_chains`` a multiple of 512; ~10^8-10^9 transitions/s/chip on
+        TPU).  ``'scan'`` (default) is the XLA-fused path for arbitrary
+        problems, bitwise-reproducible from the key."""
         writer, on_segment = self._writer(output_file, initial_theta)
-        res = run_glmcmc(
-            self.abc_set, self._next_key(key), num_iterations, initial_theta,
-            importance_proposal, local_proposal, global_frequency, batch_size,
-            y0=initial_y, num_chains=self.num_chains,
-            segment_size=self.segment_size, on_segment=on_segment, **kwargs,
-        )
+        if method == "fused":
+            from .samplers.glmcmc_fused import run_glmcmc_fused
+            ip_loc, ip_scale = self._isotropic(importance_proposal,
+                                               "importance proposal")
+            _, lp_scale = self._isotropic(local_proposal, "local proposal")
+            res = run_glmcmc_fused(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, ip_loc=ip_loc, ip_scale=ip_scale,
+                lp_scale=lp_scale, global_frequency=global_frequency,
+                batch_size=batch_size, num_chains=self.num_chains,
+                on_segment=on_segment, **kwargs,
+            )
+        else:
+            res = run_glmcmc(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, importance_proposal, local_proposal,
+                global_frequency, batch_size, y0=initial_y,
+                num_chains=self.num_chains, segment_size=self.segment_size,
+                on_segment=on_segment, **kwargs,
+            )
         return self._finish(res, "GLMCMC")
 
     def run_aglmcmc(self, num_iterations, initial_theta, initial_y,
@@ -151,15 +184,33 @@ class MCMCRunner:
     def run_glmala(self, num_iterations, initial_theta, initial_y,
                    global_frequency, importance_proposal, batch_size, tau,
                    num_grad, output_file: Optional[str] = "glmala_results.csv",
-                   key=None, **kwargs):
-        """Run GLMALA (reference ``MCMCRunner.py:78-98``)."""
+                   key=None, method: str = "scan", **kwargs):
+        """Run GLMALA (reference ``MCMCRunner.py:78-98``).
+
+        ``method='fused'`` routes through the packed Pallas GLMALA kernel
+        (Mixture-family problems, theta_dim | 8, isotropic importance
+        proposal, ``num_chains`` a multiple of ``(8/d) * 512``; the CRN
+        gradient batch runs in VMEM — ~10^8 transitions/s/chip)."""
         writer, on_segment = self._writer(output_file, initial_theta)
-        res = run_glmala(
-            self.abc_set, self._next_key(key), num_iterations, initial_theta,
-            importance_proposal, global_frequency, batch_size, tau, num_grad,
-            y0=initial_y, num_chains=self.num_chains,
-            segment_size=self.segment_size, on_segment=on_segment, **kwargs,
-        )
+        if method == "fused":
+            from .samplers.glmala_fused import run_glmala_fused
+            ip_loc, ip_scale = self._isotropic(importance_proposal,
+                                               "importance proposal")
+            res = run_glmala_fused(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, ip_loc=ip_loc, ip_scale=ip_scale,
+                global_frequency=global_frequency, batch_size=batch_size,
+                tau=tau, num_grad=num_grad, num_chains=self.num_chains,
+                on_segment=on_segment, **kwargs,
+            )
+        else:
+            res = run_glmala(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, importance_proposal, global_frequency,
+                batch_size, tau, num_grad, y0=initial_y,
+                num_chains=self.num_chains, segment_size=self.segment_size,
+                on_segment=on_segment, **kwargs,
+            )
         return self._finish(res, "GLMALA")
 
     def run_glmcmc_nf(self, num_iterations, initial_theta, initial_y,

@@ -13,9 +13,16 @@ import jax
 import numpy as np
 
 from ..ops.pallas.mixture_kernel import FusedMixtureGLMCMC, fused_state_init
+from ..ops.pallas.packed_kernel import (
+    PackedMixtureGLMCMC,
+    packed_state_init,
+    unpack_history,
+)
 from .base import MoveCounts, SamplerResult
 
 __all__ = ["run_glmcmc_fused"]
+
+_SUB = 8
 
 
 def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
@@ -23,10 +30,16 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                      prior_scale=1.0, global_frequency=0.9, batch_size=5,
                      num_chains: int = 1024, steps_per_call: int = 256,
                      block_chains: int = 512, collect_history: bool = True,
-                     on_segment=None, seed: int | None = None) -> SamplerResult:
+                     on_segment=None, seed: int | None = None,
+                     kernel: str = "auto") -> SamplerResult:
     """GLMCMC via the fused Pallas kernel.  Returns a
     :class:`SamplerResult` with chains of length ``num_ite`` (initial state
     at index 0), matching the scan path's conventions.
+
+    ``kernel``: ``'packed'`` (sublane chain packing, ~2x the throughput,
+    needs ``theta_dim | 8`` and ``num_chains`` a multiple of
+    ``(8/d) * block_chains``), ``'unpacked'``, or ``'auto'`` (packed when
+    the constraints hold).
 
     Note: the kernel always runs ``steps_per_call`` transitions per launch;
     if ``num_ite - 1`` is not a multiple of it, the recorded history is
@@ -42,16 +55,52 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
             "(with a Gaussian simulator noise scale); use run_glmcmc for "
             "arbitrary problems"
         )
-    kern = FusedMixtureGLMCMC(
-        d, problem.y_obs, epsilon=problem.epsilon, sigma=sigma,
-        global_frequency=global_frequency, batch_size=batch_size,
-        prior_loc=prior_loc, prior_scale=prior_scale, ip_loc=ip_loc,
-        ip_scale=ip_scale, lp_scale=lp_scale, steps_per_call=steps_per_call,
-        block_chains=block_chains, collect_history=collect_history,
-    )
-    theta, y, logk = fused_state_init(problem, key, theta0, num_chains,
-                                      kern.d_pad)
-    theta0_arr = np.asarray(theta)[:d, :].T[:, None, :]  # (C, 1, d)
+    pack = _SUB // d if _SUB % d == 0 else 0
+    if kernel == "auto":
+        kernel = ("packed" if pack and num_chains % (pack * block_chains) == 0
+                  else "unpacked")
+    if kernel == "packed":
+        assert pack, f"packed kernel needs theta_dim | 8, got {d}"
+        assert num_chains % (pack * block_chains) == 0, (
+            f"num_chains must be a multiple of {pack * block_chains}")
+        num_cols = num_chains // pack
+        kern = PackedMixtureGLMCMC(
+            d, problem.y_obs, epsilon=problem.epsilon, sigma=sigma,
+            global_frequency=global_frequency, batch_size=batch_size,
+            prior_loc=prior_loc, prior_scale=prior_scale, ip_loc=ip_loc,
+            ip_scale=ip_scale, lp_scale=lp_scale,
+            steps_per_call=steps_per_call, block_chains=block_chains,
+            collect_history=collect_history,
+        )
+        theta, y, logk = packed_state_init(problem, key, theta0, num_cols,
+                                           pack)
+        theta0_arr = unpack_history(np.asarray(theta)[None], d)
+
+        def stats_row(x):  # (8, C) leader-row counters -> (pack*C,)
+            return (np.asarray(x).reshape(pack, d, num_cols)[:, 0, :]
+                    .reshape(num_chains))
+
+        def hist_block(hist, take):
+            return unpack_history(np.asarray(hist)[:take], d)
+    else:
+        kern = FusedMixtureGLMCMC(
+            d, problem.y_obs, epsilon=problem.epsilon, sigma=sigma,
+            global_frequency=global_frequency, batch_size=batch_size,
+            prior_loc=prior_loc, prior_scale=prior_scale, ip_loc=ip_loc,
+            ip_scale=ip_scale, lp_scale=lp_scale,
+            steps_per_call=steps_per_call, block_chains=block_chains,
+            collect_history=collect_history,
+        )
+        theta, y, logk = fused_state_init(problem, key, theta0, num_chains,
+                                          kern.d_pad)
+        theta0_arr = np.asarray(theta)[:d, :].T[:, None, :]  # (C, 1, d)
+
+        def stats_row(x):
+            return np.asarray(x)[0]
+
+        def hist_block(hist, take):
+            block = np.asarray(hist)[:take, :d, :]      # (take, d, C)
+            return np.moveaxis(block, 2, 0)             # (C, take, d)
 
     if seed is None:
         seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
@@ -72,21 +121,24 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         )
         take = min(kern.T, total - done)
         if collect_history:
-            block = np.asarray(hist)[:take, :d, :]      # (take, d, C)
-            block = np.moveaxis(block, 2, 0)            # (C, take, d)
+            block = hist_block(hist, take)
             if on_segment is not None:
                 on_segment(block, done)
             blocks.append(block)
         # the kernel always runs T steps; scale the final partial segment
         frac = take / kern.T
-        g_att += np.asarray(stats.global_attempts)[0] * frac
-        g_acc += np.asarray(stats.global_accepts)[0] * frac
-        l_acc += np.asarray(stats.local_accepts)[0] * frac
+        g_att += stats_row(stats.global_attempts) * frac
+        g_acc += stats_row(stats.global_accepts) * frac
+        l_acc += stats_row(stats.local_accepts) * frac
         steps_run += take
         done += take
 
-    thetas = (np.concatenate(blocks, axis=1) if collect_history
-              else np.asarray(theta)[:d, :].T[:, None, :])
+    if collect_history:
+        thetas = np.concatenate(blocks, axis=1)
+    elif kernel == "packed":
+        thetas = unpack_history(np.asarray(theta)[None], d)
+    else:
+        thetas = np.asarray(theta)[:d, :].T[:, None, :]
     g_att_i = np.rint(g_att).astype(np.int32)
     counts = MoveCounts(
         global_attempts=g_att_i,

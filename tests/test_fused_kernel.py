@@ -38,6 +38,53 @@ def test_fused_glmcmc_posterior():
     assert 0.003 < float(rates["overall"].mean()) < 0.05
 
 
+def test_fused_driver_packed_auto():
+    """kernel='auto' picks the packed layout when num_chains allows it and
+    produces the same posterior as the unpacked driver."""
+    import jax.numpy as jnp
+    from glabc_tpu import MixtureProblem
+    from glabc_tpu.samplers.glmcmc_fused import run_glmcmc_fused
+
+    prob = MixtureProblem(0.05)
+    res = run_glmcmc_fused(prob, jax.random.PRNGKey(4), 1025, jnp.zeros(2),
+                           num_chains=2048, steps_per_call=256,
+                           block_chains=512)  # 2048 % (4*512) == 0 -> packed
+    assert res.thetas.shape == (2048, 1025, 2)
+    ch = res.thetas[:, 256:, :].reshape(-1, 2).astype(np.float64)
+    absmean = np.abs(ch).mean(0)
+    assert np.all(absmean > 1.3) and np.all(absmean < 1.6), absmean
+    gf_measured = np.asarray(res.counts.global_attempts).mean() / 1024
+    assert 0.85 < gf_measured < 0.95, gf_measured
+
+
+def test_runner_fused_methods():
+    """MCMCRunner method='fused' for GLMCMC and GLMALA writes reference-
+    format CSVs and recovers the posterior."""
+    import jax.numpy as jnp
+    import os
+    import tempfile
+    from glabc_tpu import DiagGaussian, MCMCRunner, MixtureProblem
+
+    prob = MixtureProblem(0.05)
+    ip = DiagGaussian.create(2, 0.0, 0.0)
+    lp = DiagGaussian.create(2, 0.0, float(jnp.log(0.35)))
+    with tempfile.TemporaryDirectory() as td:
+        runner = MCMCRunner(prob, output_dir=td, num_chains=2048,
+                            verbose=False)
+        ch = runner.run_glmcmc(513, jnp.zeros(2), None, 0.9, lp, ip, 5,
+                               method="fused")
+        assert ch.shape == (2048, 513, 2)
+        csv = np.loadtxt(os.path.join(td, "glmcmc_results.csv"),
+                         delimiter=",")
+        assert csv.shape == (513, 2)
+        np.testing.assert_allclose(csv, ch[0], rtol=1e-6, atol=1e-7)
+        ch2 = runner.run_glmala(129, jnp.zeros(2), None, 0.8, ip, 5, 0.3,
+                                50, method="fused", steps_per_call=64)
+        assert ch2.shape == (2048, 129, 2)
+        a = np.abs(ch[:, 128:, :].reshape(-1, 2)).mean(0)
+        assert np.all(a > 1.3) and np.all(a < 1.6), a
+
+
 def test_packed_glmcmc_posterior():
     import jax.numpy as jnp
     from glabc_tpu import MixtureProblem
