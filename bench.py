@@ -31,13 +31,16 @@ def bench_fused():
     )
 
     problem = MixtureProblem(0.05)
-    cols = 4096
+    # Chain count saturates per-call dispatch overhead around ~5e5 chains
+    # (sweep: 16k -> 518M, 64k -> 1.08B, 512k -> 1.93B, 2M -> 2.03B trans/s);
+    # history stays on device (~1 GiB HBM per call at this config).
+    cols = 131072
     kern = PackedMixtureGLMCMC(
         2, problem.y_obs, epsilon=0.05, sigma=float(np.sqrt(0.05)),
         global_frequency=0.9, batch_size=5, ip_scale=1.0, lp_scale=0.35,
         steps_per_call=256, block_chains=512, collect_history=True,
     )
-    C = kern.pack * cols  # 16384 chains
+    C = kern.pack * cols  # 524288 chains
     theta, y, logk = packed_state_init(
         problem, jax.random.PRNGKey(0), jnp.zeros(2), cols, kern.pack
     )
