@@ -51,7 +51,7 @@ class PackedMixtureGLMCMC:
                  batch_size: int = 5, prior_loc=0.0, prior_scale=1.0,
                  ip_loc=0.0, ip_scale=1.0, lp_scale=0.35,
                  steps_per_call: int = 256, block_chains: int = 512,
-                 collect_history: bool = True):
+                 collect_history: bool = True, interpret: bool = False):
         assert _SUB % theta_dim == 0, "packed kernel needs d | 8"
         self.d = int(theta_dim)
         self.pack = _SUB // self.d
@@ -70,6 +70,7 @@ class PackedMixtureGLMCMC:
         self.T = int(steps_per_call)
         self.C_blk = int(block_chains)
         self.collect_history = bool(collect_history)
+        self.interpret = bool(interpret)
         assert self.C_blk % 128 == 0
 
     # ------------------------------------------------------------- kernel
@@ -256,12 +257,53 @@ class PackedMixtureGLMCMC:
                 jax.ShapeDtypeStruct((_SUB, C), jnp.float32),
                 jax.ShapeDtypeStruct((_SUB, C), jnp.float32),
             ),
-        )(jnp.asarray([seed], jnp.int32), jnp.asarray(self.y_obs), theta, y,
-          logk)
+            interpret=pltpu.InterpretParams() if self.interpret else False,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), jnp.asarray(self.y_obs),
+          theta, y, logk)
         theta_n, y_n, logk_n, hist, acc, gatt, gacc, lacc = out
         stats = PackedStats(acc, gatt, gacc, lacc)
         return (theta_n, y_n, logk_n,
                 (hist if self.collect_history else None), stats)
+
+    def make_sharded_run(self, mesh):
+        """Multi-chip variant of :meth:`run`: the chain (lane) axis is
+        sharded over ``mesh`` and the pallas_call runs per-device inside
+        ``shard_map`` (the transition kernel is chain-elementwise, so there
+        are no collectives).  Per-device PRNG seeds are offset by
+        ``device_index * local_blocks`` grid slots, so the device streams
+        tile the exact seed->stream pattern of one big single-device grid.
+
+        Returns ``run(seed, theta, y, logk)`` taking globally-sharded
+        ``(8, C)`` arrays (shard with
+        ``NamedSharding(mesh, P(None, 'chains'))``)."""
+        from jax.sharding import PartitionSpec as P
+        from ...parallel.mesh import CHAIN_AXIS
+
+        n_dev = mesh.devices.size
+
+        def worker(seed, theta, y, logk):
+            my = jax.lax.axis_index(CHAIN_AXIS)
+            n_blk_local = theta.shape[-1] // self.C_blk
+            # stream(pid) = seed + pid * PHI in-kernel; offsetting the seed
+            # by my * n_blk_local * PHI makes device d's local grid occupy
+            # slots [d*n_blk_local, (d+1)*n_blk_local) of the single-grid
+            # stream pattern.
+            seed_dev = seed + (my.astype(jnp.int32)
+                               * jnp.int32(n_blk_local)
+                               * jnp.int32(-1640531527))
+            return self.run(seed_dev, theta, y, logk)
+
+        state_p = P(None, CHAIN_AXIS)
+        hist_p = P(None, None, CHAIN_AXIS)
+        stats_p = PackedStats(state_p, state_p, state_p, state_p)
+        sharded = jax.shard_map(
+            worker, mesh=mesh,
+            in_specs=(P(), state_p, state_p, state_p),
+            out_specs=(state_p, state_p, state_p,
+                       (hist_p if self.collect_history else None), stats_p),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
 
 def packed_state_init(problem, key, theta0, num_cols: int, pack: int):

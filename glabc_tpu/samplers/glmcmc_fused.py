@@ -31,7 +31,7 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                      num_chains: int = 1024, steps_per_call: int = 256,
                      block_chains: int = 512, collect_history: bool = True,
                      on_segment=None, seed: int | None = None,
-                     kernel: str = "auto") -> SamplerResult:
+                     kernel: str = "auto", mesh=None) -> SamplerResult:
     """GLMCMC via the fused Pallas kernel.  Returns a
     :class:`SamplerResult` with chains of length ``num_ite`` (initial state
     at index 0), matching the scan path's conventions.
@@ -40,6 +40,12 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
     needs ``theta_dim | 8`` and ``num_chains`` a multiple of
     ``(8/d) * block_chains``), ``'unpacked'``, or ``'auto'`` (packed when
     the constraints hold).
+
+    ``mesh``: a 1-D :class:`jax.sharding.Mesh` shards the chain (lane)
+    axis over devices and runs the packed kernel per-device inside
+    ``shard_map`` (chain-elementwise, zero collectives; per-device PRNG
+    streams tile the single-grid pattern).  Requires the packed kernel and
+    ``num_chains`` divisible by ``pack * block_chains * mesh size``.
 
     Note: the kernel always runs ``steps_per_call`` transitions per launch;
     if ``num_ite - 1`` is not a multiple of it, the recorded history is
@@ -75,6 +81,18 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         theta, y, logk = packed_state_init(problem, key, theta0, num_cols,
                                            pack)
         theta0_arr = unpack_history(np.asarray(theta)[None], d)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import CHAIN_AXIS
+            n_dev = mesh.devices.size
+            assert num_cols % (block_chains * n_dev) == 0, (
+                f"num_chains must divide by {pack * block_chains * n_dev}")
+            sh = NamedSharding(mesh, P(None, CHAIN_AXIS))
+            theta, y, logk = (jax.device_put(x, sh)
+                              for x in (theta, y, logk))
+            run_fn = kern.make_sharded_run(mesh)
+        else:
+            run_fn = kern.run
 
         def stats_row(x):  # (8, C) leader-row counters -> (pack*C,)
             return (np.asarray(x).reshape(pack, d, num_cols)[:, 0, :]
@@ -83,6 +101,7 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         def hist_block(hist, take):
             return unpack_history(np.asarray(hist)[:take], d)
     else:
+        assert mesh is None, "mesh= requires the packed kernel"
         kern = FusedMixtureGLMCMC(
             d, problem.y_obs, epsilon=problem.epsilon, sigma=sigma,
             global_frequency=global_frequency, batch_size=batch_size,
@@ -94,6 +113,7 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         theta, y, logk = fused_state_init(problem, key, theta0, num_chains,
                                           kern.d_pad)
         theta0_arr = np.asarray(theta)[:d, :].T[:, None, :]  # (C, 1, d)
+        run_fn = kern.run
 
         def stats_row(x):
             return np.asarray(x)[0]
@@ -116,7 +136,7 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
     call_idx = 0
     while done < total:
         call_idx += 1
-        theta, y, logk, hist, stats = kern.run(
+        theta, y, logk, hist, stats = run_fn(
             np.int32((seed + call_idx) % (2**31 - 1)), theta, y, logk
         )
         take = min(kern.T, total - done)

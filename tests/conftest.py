@@ -21,5 +21,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# GLABC_TPU_TESTS=1 keeps the real backend so the TPU-gated tests
+# (tests/test_fused_kernel.py) run on hardware:
+#   GLABC_TPU_TESTS=1 python -m pytest tests/test_fused_kernel.py -q
+# (one TPU process at a time — don't run concurrently with bench.py).
+if not os.environ.get("GLABC_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -85,6 +85,24 @@ def test_runner_fused_methods():
         assert np.all(a > 1.3) and np.all(a < 1.6), a
 
 
+def test_fused_driver_mesh_single_device():
+    """run_glmcmc_fused(mesh=) on a 1-device TPU mesh: the shard_map path
+    must produce the same posterior as the direct path."""
+    import jax.numpy as jnp
+    from glabc_tpu import MixtureProblem
+    from glabc_tpu.parallel import make_mesh
+    from glabc_tpu.samplers.glmcmc_fused import run_glmcmc_fused
+
+    prob = MixtureProblem(0.05)
+    res = run_glmcmc_fused(prob, jax.random.PRNGKey(5), 1025, jnp.zeros(2),
+                           num_chains=2048, steps_per_call=256,
+                           block_chains=512, kernel="packed",
+                           mesh=make_mesh(1))
+    ch = res.thetas[:, 256:, :].reshape(-1, 2).astype(np.float64)
+    absmean = np.abs(ch).mean(0)
+    assert np.all(absmean > 1.3) and np.all(absmean < 1.6), absmean
+
+
 def test_packed_glmcmc_posterior():
     import jax.numpy as jnp
     from glabc_tpu import MixtureProblem

@@ -172,6 +172,28 @@ def test_run_aglmcmc_with_mesh_per_chain(mesh):
     assert np.all(np.isfinite(res.thetas))
 
 
+def test_sharded_fused_kernel_runs_interpret(mesh):
+    """The packed fused kernel under shard_map on the 8-device CPU mesh
+    (TPU-interpret mode; pltpu PRNG is stubbed there, so this validates the
+    sharding plumbing — shapes, specs, per-device grids — not statistics,
+    which the TPU-gated tests cover)."""
+    from jax.sharding import NamedSharding
+    from glabc_tpu.ops.pallas.packed_kernel import (
+        PackedMixtureGLMCMC, packed_state_init)
+
+    kern = PackedMixtureGLMCMC(2, PROB.y_obs, epsilon=0.05,
+                               sigma=float(np.sqrt(0.05)), steps_per_call=4,
+                               block_chains=128, interpret=True)
+    theta, y, logk = packed_state_init(PROB, KEY, jnp.zeros(2), 1024, 4)
+    sh = NamedSharding(mesh, P(None, CHAIN_AXIS))
+    theta, y, logk = (jax.device_put(x, sh) for x in (theta, y, logk))
+    run = kern.make_sharded_run(mesh)
+    th, yy, lk, hist, st = run(jnp.int32(1), theta, y, logk)
+    assert th.shape == (8, 1024) and hist.shape == (4, 8, 1024)
+    assert th.sharding.spec == P(None, CHAIN_AXIS)
+    assert np.all(np.isfinite(np.asarray(th)))
+
+
 def test_distributed_systematic_resample_matches_global(mesh):
     """Sharded resample == single-array systematic_resample on the same
     grid (same u0), and every device agrees on the global index vector."""
