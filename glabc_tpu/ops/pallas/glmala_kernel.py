@@ -98,7 +98,7 @@ class PackedMixtureGLMALA:
                  fd_step: float = 0.1, prior_loc=0.0, prior_scale=1.0,
                  ip_loc=0.0, ip_scale=1.0, steps_per_call: int = 32,
                  block_chains: int = 512, collect_history: bool = True,
-                 coin_mode: str = "per_chain"):
+                 coin_mode: str = "per_chain", interpret: bool = False):
         assert _SUB % theta_dim == 0, "packed kernel needs d | 8"
         assert coin_mode in ("per_chain", "shared")
         self.d = int(theta_dim)
@@ -121,6 +121,7 @@ class PackedMixtureGLMALA:
         self.C_blk = int(block_chains)
         self.collect_history = bool(collect_history)
         self.coin_mode = coin_mode
+        self.interpret = bool(interpret)
         assert self.C_blk % 128 == 0
 
     # ------------------------------------------------------------- kernel
@@ -389,12 +390,48 @@ class PackedMixtureGLMALA:
                 jax.ShapeDtypeStruct((_SUB, C), jnp.float32),
                 jax.ShapeDtypeStruct((_SUB, C), jnp.float32),
             ),
-        )(jnp.asarray([seed], jnp.int32), jnp.asarray(self.y_obs),
+            interpret=pltpu.InterpretParams() if self.interpret else False,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), jnp.asarray(self.y_obs),
           jnp.asarray(coins, jnp.int32), theta, y, logk, grad)
         theta_n, y_n, logk_n, grad_n, hist, acc, gatt, gacc, lacc = out
         stats = GLMALAStats(acc, gatt, gacc, lacc)
         return (theta_n, y_n, logk_n, grad_n,
                 (hist if self.collect_history else None), stats)
+
+    def make_sharded_run(self, mesh):
+        """Multi-chip variant of :meth:`run`: the chain (lane) axis is
+        sharded over ``mesh`` and the pallas_call runs per-device inside
+        ``shard_map`` (chain-elementwise transition, zero collectives).
+        Per-device PRNG seeds are offset by ``device_index * local_blocks``
+        grid slots so the device streams tile the single-grid seed->stream
+        pattern; the per-step ``coins`` vector is replicated so shared-coin
+        mode stays globally coherent across devices.
+
+        Returns ``run(seed, coins, theta, y, logk, grad)`` taking
+        globally-sharded ``(8, C)`` arrays (shard with
+        ``NamedSharding(mesh, P(None, 'chains'))``)."""
+        from jax.sharding import PartitionSpec as P
+        from ...parallel.mesh import CHAIN_AXIS
+
+        def worker(seed, coins, theta, y, logk, grad):
+            my = jax.lax.axis_index(CHAIN_AXIS)
+            n_blk_local = theta.shape[-1] // self.C_blk
+            seed_dev = seed + (my.astype(jnp.int32)
+                               * jnp.int32(n_blk_local)
+                               * jnp.int32(-1640531527))
+            return self.run(seed_dev, coins, theta, y, logk, grad)
+
+        state_p = P(None, CHAIN_AXIS)
+        hist_p = P(None, None, CHAIN_AXIS)
+        stats_p = GLMALAStats(state_p, state_p, state_p, state_p)
+        sharded = jax.shard_map(
+            worker, mesh=mesh,
+            in_specs=(P(), P(), state_p, state_p, state_p, state_p),
+            out_specs=(state_p, state_p, state_p, state_p,
+                       (hist_p if self.collect_history else None), stats_p),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
 
 def packed_grad_init(problem, key, theta0, num_cols: int, pack: int,

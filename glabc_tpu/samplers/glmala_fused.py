@@ -36,7 +36,8 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                      num_grad=100, fd_step=0.1, num_chains: int = 2048,
                      steps_per_call: int = 32, block_chains: int = 512,
                      collect_history: bool = True, coin_mode: str = "shared",
-                     on_segment=None, seed: int | None = None) -> SamplerResult:
+                     on_segment=None, seed: int | None = None,
+                     mesh=None) -> SamplerResult:
     """GLMALA via the fused Pallas kernel.  Returns a
     :class:`SamplerResult` with chains ``(num_chains, num_ite, d)`` (initial
     state at index 0), matching the scan path's conventions.
@@ -50,6 +51,12 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
     Ragged ``num_ite``: like ``run_glmcmc_fused``, the kernel always runs
     ``steps_per_call`` transitions per launch; a final partial segment keeps
     history exact but scales its move counters pro-rata.
+
+    ``mesh``: a 1-D :class:`jax.sharding.Mesh` shards the chain (lane) axis
+    over devices and runs the kernel per-device inside ``shard_map``
+    (chain-elementwise, zero collectives; the shared per-step coins are
+    replicated so global/local step choice stays coherent across devices).
+    Requires ``num_chains`` divisible by ``pack * block_chains * mesh size``.
     """
     d = problem.theta_dim
     sigma = getattr(problem, "_noise_std", None)
@@ -78,6 +85,19 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                             fd_step)
     theta0_arr = unpack_history(np.asarray(theta)[None], d)  # (C, 1, d)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import CHAIN_AXIS
+        n_dev = mesh.devices.size
+        assert num_cols % (block_chains * n_dev) == 0, (
+            f"num_chains must divide by {pack * block_chains * n_dev}")
+        sh = NamedSharding(mesh, P(None, CHAIN_AXIS))
+        theta, y, logk, grad = (jax.device_put(x, sh)
+                                for x in (theta, y, logk, grad))
+        run_fn = kern.make_sharded_run(mesh)
+    else:
+        run_fn = kern.run
+
     if seed is None:
         seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
                                       0, 2**31 - 1))
@@ -94,7 +114,7 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
     while done < total:
         call_idx += 1
         coins = (coin_rng.random(kern.T) < global_frequency).astype(np.int32)
-        theta, y, logk, grad, hist, stats = kern.run(
+        theta, y, logk, grad, hist, stats = run_fn(
             np.int32((seed + call_idx) % (2**31 - 1)), coins, theta, y,
             logk, grad,
         )

@@ -103,6 +103,24 @@ def test_fused_driver_mesh_single_device():
     assert np.all(absmean > 1.3) and np.all(absmean < 1.6), absmean
 
 
+def test_glmala_driver_mesh_single_device():
+    """run_glmala_fused(mesh=) on a 1-device TPU mesh: the shard_map path
+    must reproduce the direct path's posterior."""
+    import jax.numpy as jnp
+    from glabc_tpu import MixtureProblem
+    from glabc_tpu.parallel import make_mesh
+    from glabc_tpu.samplers.glmala_fused import run_glmala_fused
+
+    prob = MixtureProblem(0.05)
+    res = run_glmala_fused(prob, jax.random.PRNGKey(3), 513, jnp.zeros(2),
+                           num_chains=2048, num_grad=20, steps_per_call=32,
+                           block_chains=512, coin_mode="shared",
+                           mesh=make_mesh(1))
+    ch = res.thetas[:, 128:, :].reshape(-1, 2).astype(np.float64)
+    absmean = np.abs(ch).mean(0)
+    assert np.all(absmean > 1.2) and np.all(absmean < 1.7), absmean
+
+
 def test_packed_glmcmc_posterior():
     import jax.numpy as jnp
     from glabc_tpu import MixtureProblem

@@ -194,6 +194,31 @@ def test_sharded_fused_kernel_runs_interpret(mesh):
     assert np.all(np.isfinite(np.asarray(th)))
 
 
+def test_sharded_glmala_kernel_runs_interpret(mesh):
+    """The packed fused GLMALA kernel under shard_map on the 8-device CPU
+    mesh (TPU-interpret mode; plumbing-only, as for the GLMCMC variant)."""
+    from jax.sharding import NamedSharding
+    from glabc_tpu.ops.pallas.glmala_kernel import (
+        PackedMixtureGLMALA, packed_grad_init)
+    from glabc_tpu.ops.pallas.packed_kernel import packed_state_init
+
+    kern = PackedMixtureGLMALA(2, PROB.y_obs, epsilon=0.05,
+                               sigma=float(np.sqrt(0.05)), num_grad=2,
+                               steps_per_call=2, block_chains=128,
+                               coin_mode="shared", interpret=True)
+    theta, y, logk = packed_state_init(PROB, KEY, jnp.zeros(2), 1024, 4)
+    grad = packed_grad_init(PROB, KEY, jnp.zeros(2), 1024, 4, 2)
+    sh = NamedSharding(mesh, P(None, CHAIN_AXIS))
+    theta, y, logk, grad = (jax.device_put(x, sh)
+                            for x in (theta, y, logk, grad))
+    run = kern.make_sharded_run(mesh)
+    th, yy, lk, gr, hist, st = run(jnp.int32(1), jnp.zeros(2, jnp.int32),
+                                   theta, y, logk, grad)
+    assert th.shape == (8, 1024) and hist.shape == (2, 8, 1024)
+    assert th.sharding.spec == P(None, CHAIN_AXIS)
+    assert np.all(np.isfinite(np.asarray(th)))
+
+
 def test_distributed_systematic_resample_matches_global(mesh):
     """Sharded resample == single-array systematic_resample on the same
     grid (same u0), and every device agrees on the global index vector."""
