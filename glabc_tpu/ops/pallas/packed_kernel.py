@@ -51,8 +51,14 @@ class PackedMixtureGLMCMC:
                  batch_size: int = 5, prior_loc=0.0, prior_scale=1.0,
                  ip_loc=0.0, ip_scale=1.0, lp_scale=0.35,
                  steps_per_call: int = 256, block_chains: int = 512,
-                 collect_history: bool = True, interpret: bool = False):
+                 collect_history: bool = True, interpret: bool = False,
+                 algorithm: str = "glmcmc"):
+        """``algorithm``: ``'glmcmc'`` (iSIR global move, reference
+        ``GLMCMC.py:66-89``) or ``'global'`` (independence-MH global move,
+        reference ``GlobalMCMC.py:39-53``; ``batch_size`` is ignored)."""
         assert _SUB % theta_dim == 0, "packed kernel needs d | 8"
+        assert algorithm in ("glmcmc", "global")
+        self.algorithm = algorithm
         self.d = int(theta_dim)
         self.pack = _SUB // self.d
         self.y_obs = np.broadcast_to(
@@ -159,27 +165,45 @@ class PackedMixtureGLMCMC:
         def body(t, state):
             theta, y, logk, acc, gatt, gacc, lacc = state
 
-            gum = scalar_pool(B + 1, _gumbel)
-            unis = scalar_pool(2, _uniform)
+            if self.algorithm == "glmcmc":
+                gum = scalar_pool(B + 1, _gumbel)
+                unis = scalar_pool(2, _uniform)
 
-            # ---------------- global branch: iSIR streaming Gumbel argmax
-            logw_old = prior_minus_ip_lp(theta) + logk
-            w_score = logw_old + gum[0]
-            w_theta, w_y, w_logk = theta, y, logk
-            w_moved = jnp.zeros((_SUB, C), jnp.float32)
-            for b in range(B):
+                # ------------ global branch: iSIR streaming Gumbel argmax
+                logw_old = prior_minus_ip_lp(theta) + logk
+                w_score = logw_old + gum[0]
+                w_theta, w_y, w_logk = theta, y, logk
+                w_moved = jnp.zeros((_SUB, C), jnp.float32)
+                for b in range(B):
+                    n1, n2 = _normal_pair((_SUB, C))
+                    thp = self.ip_loc + self.ip_scale * n1
+                    yp = jnp.abs(thp) + sigma * n2
+                    logkp = kernel_lp(yp)
+                    logw = prior_minus_ip_lp(thp) + logkp
+                    score = logw + gum[b + 1]
+                    upd = score > w_score       # group-uniform by construction
+                    w_score = jnp.where(upd, score, w_score)
+                    w_theta = jnp.where(upd, thp, w_theta)
+                    w_y = jnp.where(upd, yp, w_y)
+                    w_logk = jnp.where(upd, logkp, w_logk)
+                    w_moved = jnp.where(upd, 1.0, w_moved)
+            else:
+                # ------------ global branch: independence MH
+                # log a = (prior-ip)(th') + logK' - (prior-ip)(th) - logK
+                # (reference GlobalMCMC.py:44-46, proposal terms folded into
+                # the same single quadratic group-sum as the iSIR weights)
+                unis = scalar_pool(3, _uniform)
                 n1, n2 = _normal_pair((_SUB, C))
                 thp = self.ip_loc + self.ip_scale * n1
                 yp = jnp.abs(thp) + sigma * n2
                 logkp = kernel_lp(yp)
-                logw = prior_minus_ip_lp(thp) + logkp
-                score = logw + gum[b + 1]
-                upd = score > w_score           # group-uniform by construction
-                w_score = jnp.where(upd, score, w_score)
-                w_theta = jnp.where(upd, thp, w_theta)
-                w_y = jnp.where(upd, yp, w_y)
-                w_logk = jnp.where(upd, logkp, w_logk)
-                w_moved = jnp.where(upd, 1.0, w_moved)
+                log_acc = (prior_minus_ip_lp(thp) + logkp
+                           - prior_minus_ip_lp(theta) - logk)
+                g_acc = jnp.log(unis[2]) < log_acc
+                w_theta = jnp.where(g_acc, thp, theta)
+                w_y = jnp.where(g_acc, yp, y)
+                w_logk = jnp.where(g_acc, logkp, logk)
+                w_moved = jnp.where(g_acc, 1.0, 0.0)
 
             # ---------------- local branch: RW-MH
             n1, n2 = _normal_pair((_SUB, C))

@@ -121,15 +121,33 @@ class MCMCRunner:
     def run_global_mcmc(self, num_iterations, initial_theta, initial_y,
                         global_frequency, local_proposal, global_proposal,
                         output_file: Optional[str] = "global_mcmc_results.csv",
-                        key=None, **kwargs):
-        """Run GlobalMCMC (reference ``MCMCRunner.py:17-33``)."""
+                        key=None, method: str = "scan", **kwargs):
+        """Run GlobalMCMC (reference ``MCMCRunner.py:17-33``).
+
+        ``method='fused'`` routes through the fused Pallas kernels with the
+        independence-MH global move (Mixture-family problems, isotropic
+        Gaussian proposals — same constraints as ``run_glmcmc``'s fused
+        path)."""
         writer, on_segment = self._writer(output_file, initial_theta)
-        res = run_global_mcmc(
-            self.abc_set, self._next_key(key), num_iterations, initial_theta,
-            global_proposal, local_proposal, global_frequency, y0=initial_y,
-            num_chains=self.num_chains, segment_size=self.segment_size,
-            on_segment=on_segment, **kwargs,
-        )
+        if method == "fused":
+            from .samplers.glmcmc_fused import run_global_mcmc_fused
+            gp_loc, gp_scale = self._isotropic(global_proposal,
+                                               "global proposal")
+            _, lp_scale = self._isotropic(local_proposal, "local proposal")
+            res = run_global_mcmc_fused(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, gp_loc=gp_loc, gp_scale=gp_scale,
+                lp_scale=lp_scale, global_frequency=global_frequency,
+                num_chains=self.num_chains, on_segment=on_segment, **kwargs,
+            )
+        else:
+            res = run_global_mcmc(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, global_proposal, local_proposal,
+                global_frequency, y0=initial_y, num_chains=self.num_chains,
+                segment_size=self.segment_size, on_segment=on_segment,
+                **kwargs,
+            )
         return self._finish(res, "GlobalMCMC")
 
     def run_glmcmc(self, num_iterations, initial_theta, initial_y,

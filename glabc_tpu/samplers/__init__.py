@@ -3,7 +3,7 @@ from .chain import ChainCarry, init_chain_carry, sample_with_step
 from .global_mcmc import GlobalMCMCConfig, build_global_mcmc_step, run_global_mcmc
 from .glmcmc import GLMCMCConfig, build_glmcmc_step, run_glmcmc
 from .glmala_fused import run_glmala_fused
-from .glmcmc_fused import run_glmcmc_fused
+from .glmcmc_fused import run_glmcmc_fused, run_global_mcmc_fused
 
 __all__ = [
     "MoveCounts",
@@ -21,5 +21,6 @@ __all__ = [
     "build_glmcmc_step",
     "run_glmcmc",
     "run_glmcmc_fused",
+    "run_global_mcmc_fused",
     "run_glmala_fused",
 ]

@@ -20,7 +20,7 @@ from ..ops.pallas.packed_kernel import (
 )
 from .base import MoveCounts, SamplerResult
 
-__all__ = ["run_glmcmc_fused"]
+__all__ = ["run_glmcmc_fused", "run_global_mcmc_fused"]
 
 _SUB = 8
 
@@ -31,7 +31,8 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                      num_chains: int = 1024, steps_per_call: int = 256,
                      block_chains: int = 512, collect_history: bool = True,
                      on_segment=None, seed: int | None = None,
-                     kernel: str = "auto", mesh=None) -> SamplerResult:
+                     kernel: str = "auto", mesh=None,
+                     algorithm: str = "glmcmc") -> SamplerResult:
     """GLMCMC via the fused Pallas kernel.  Returns a
     :class:`SamplerResult` with chains of length ``num_ite`` (initial state
     at index 0), matching the scan path's conventions.
@@ -40,6 +41,11 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
     needs ``theta_dim | 8`` and ``num_chains`` a multiple of
     ``(8/d) * block_chains``), ``'unpacked'``, or ``'auto'`` (packed when
     the constraints hold).
+
+    ``algorithm``: ``'glmcmc'`` (iSIR global move) or ``'global'``
+    (independence-MH global move — the GlobalMCMC sampler; prefer the
+    :func:`run_global_mcmc_fused` wrapper, which names the proposal
+    arguments accordingly).
 
     ``mesh``: a 1-D :class:`jax.sharding.Mesh` shards the chain (lane)
     axis over devices and runs the packed kernel per-device inside
@@ -76,7 +82,7 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
             prior_loc=prior_loc, prior_scale=prior_scale, ip_loc=ip_loc,
             ip_scale=ip_scale, lp_scale=lp_scale,
             steps_per_call=steps_per_call, block_chains=block_chains,
-            collect_history=collect_history,
+            collect_history=collect_history, algorithm=algorithm,
         )
         theta, y, logk = packed_state_init(problem, key, theta0, num_cols,
                                            pack)
@@ -108,7 +114,7 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
             prior_loc=prior_loc, prior_scale=prior_scale, ip_loc=ip_loc,
             ip_scale=ip_scale, lp_scale=lp_scale,
             steps_per_call=steps_per_call, block_chains=block_chains,
-            collect_history=collect_history,
+            collect_history=collect_history, algorithm=algorithm,
         )
         theta, y, logk = fused_state_init(problem, key, theta0, num_chains,
                                           kern.d_pad)
@@ -168,3 +174,19 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
     )
     return SamplerResult(thetas=thetas, counts=counts,
                          final_carry=(theta, y, logk))
+
+
+def run_global_mcmc_fused(problem, key, num_ite, theta0, *, gp_loc=0.0,
+                          gp_scale=1.0, lp_scale=0.35, **kwargs
+                          ) -> SamplerResult:
+    """GlobalMCMC (independence-MH global + RW local, reference
+    ``GlobalMCMC.py:6-98``) via the fused Pallas kernels.
+
+    Thin wrapper over :func:`run_glmcmc_fused` with
+    ``algorithm='global'`` — the parametric global proposal
+    ``N(gp_loc, gp_scale^2 I)`` takes the importance-proposal slot and the
+    iSIR ``batch_size`` is ignored.  Accepts the same ``kernel``/``mesh``/
+    segmentation kwargs."""
+    return run_glmcmc_fused(problem, key, num_ite, theta0, ip_loc=gp_loc,
+                            ip_scale=gp_scale, lp_scale=lp_scale,
+                            algorithm="global", **kwargs)

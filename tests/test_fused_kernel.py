@@ -103,6 +103,29 @@ def test_fused_driver_mesh_single_device():
     assert np.all(absmean > 1.3) and np.all(absmean < 1.6), absmean
 
 
+def test_global_mcmc_fused_posterior():
+    """Fused GlobalMCMC (independence-MH global move, algorithm='global'),
+    packed and unpacked kernels: posterior bands as TestGlobalMCMC."""
+    import jax.numpy as jnp
+    from glabc_tpu import MixtureProblem
+    from glabc_tpu.samplers.glmcmc_fused import run_global_mcmc_fused
+
+    prob = MixtureProblem(0.05)
+    for kern in ("packed", "unpacked"):
+        res = run_global_mcmc_fused(prob, jax.random.PRNGKey(2), 1025,
+                                    jnp.zeros(2), gp_loc=0.0, gp_scale=1.0,
+                                    lp_scale=0.35, global_frequency=0.5,
+                                    num_chains=2048, steps_per_call=256,
+                                    block_chains=512, kernel=kern)
+        ch = res.thetas[:, 256:, :].reshape(-1, 2).astype(np.float64)
+        absmean = np.abs(ch).mean(0)
+        assert np.all(absmean > 1.25) and np.all(absmean < 1.65), (kern,
+                                                                   absmean)
+        # ~half the steps attempt the global move
+        gf = np.asarray(res.counts.global_attempts).mean() / 1024
+        assert 0.4 < gf < 0.6, (kern, gf)
+
+
 def test_glmala_driver_mesh_single_device():
     """run_glmala_fused(mesh=) on a 1-device TPU mesh: the shard_map path
     must reproduce the direct path's posterior."""
