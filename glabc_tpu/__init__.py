@@ -16,6 +16,7 @@ from .models import (
     GaussianMixture,
     HighDimMixtureProblem,
     KernelDensity,
+    MA2Problem,
     MixtureProblem,
     Uniform,
 )
@@ -49,6 +50,7 @@ __all__ = [
     "GaussianMixture",
     "HighDimMixtureProblem",
     "KernelDensity",
+    "MA2Problem",
     "MixtureProblem",
     "Uniform",
     "chain_summary",

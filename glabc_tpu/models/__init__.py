@@ -1,6 +1,7 @@
 from .distributions import Uniform, Gamma, DiagGaussian, GaussianMixture
 from .kde import KernelDensity
-from .problems import ABCProblem, GKProblem, HighDimMixtureProblem, MixtureProblem
+from .problems import (ABCProblem, GKProblem, HighDimMixtureProblem,
+                       MA2Problem, MixtureProblem)
 
 __all__ = [
     "Uniform",
@@ -10,6 +11,7 @@ __all__ = [
     "KernelDensity",
     "ABCProblem",
     "GKProblem",
+    "MA2Problem",
     "MixtureProblem",
     "HighDimMixtureProblem",
 ]

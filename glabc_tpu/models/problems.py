@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ABCProblem", "MixtureProblem", "HighDimMixtureProblem",
-           "GKProblem"]
+           "GKProblem", "MA2Problem"]
 
 _LOG_2PI = jnp.log(2.0 * jnp.pi)
 
@@ -187,6 +187,66 @@ class GKProblem(ABCProblem):
     def discrepancy(self, y):
         y = jnp.asarray(y, jnp.float32)
         return jnp.sqrt(jnp.sum(jnp.square(y - self.y_obs), axis=-1))
+
+
+class MA2Problem(ABCProblem):
+    """MA(2) moving-average time-series ABC — a classic likelihood-free
+    benchmark (Marin et al. 2012 style).
+
+    ``y_t = e_t + theta_1 e_{t-1} + theta_2 e_{t-2}`` with iid standard
+    normal innovations; each dataset of ``num_draws`` observations is
+    summarized by the lag-0/1/2 empirical autocovariances
+    ``s_k = (1/T) sum_t y_t y_{t-k}`` (``y_{t<0} = 0``); discrepancy is
+    the Euclidean distance between summary vectors.  Prior: uniform over
+    the invertibility triangle with vertices ``(-2,1), (2,1), (0,-1)``.
+
+    Unlike the Mixture family this simulator has internal structure (a
+    length-``num_draws`` recursion), making it the demonstration problem
+    for the generic fused Pallas path
+    (:func:`glabc_tpu.ops.pallas.generic_kernel.ma2_tile_program`), whose
+    streaming in-kernel simulator computes the same summaries without
+    materializing the series.
+    """
+
+    def __init__(self, epsilon: float = 0.2, num_draws: int = 100,
+                 theta_true=(0.6, 0.2), y_obs=None, key=None):
+        self.epsilon = float(epsilon)
+        self.theta_dim = 2
+        self.num_draws = int(num_draws)
+        self.theta_true = jnp.asarray(theta_true, jnp.float32)
+        if y_obs is None:
+            if key is None:
+                key = jax.random.PRNGKey(42)
+            y_obs = self.simulate(key, self.theta_true)
+        self.y_obs = jnp.asarray(y_obs, jnp.float32)
+
+    def simulate(self, key, theta):
+        theta = jnp.asarray(theta, jnp.float32)
+        batch = theta.shape[:-1]
+        T = self.num_draws
+        th1, th2 = theta[..., 0:1], theta[..., 1:2]
+        z = jax.random.normal(key, batch + (T + 2,), jnp.float32)
+        y = z[..., 2:] + th1 * z[..., 1:-1] + th2 * z[..., :-2]  # (..., T)
+        s0 = jnp.sum(y * y, axis=-1) / T
+        s1 = jnp.sum(y[..., 1:] * y[..., :-1], axis=-1) / T
+        s2 = jnp.sum(y[..., 2:] * y[..., :-2], axis=-1) / T
+        return jnp.stack([s0, s1, s2], axis=-1)
+
+    def prior_log_prob(self, theta):
+        theta = jnp.asarray(theta, jnp.float32)
+        th1, th2 = theta[..., 0], theta[..., 1]
+        inside = (th2 < 1.0) & (th2 > th1 - 1.0) & (th2 > -th1 - 1.0)
+        return jnp.where(inside, -jnp.log(4.0), -jnp.inf)  # triangle area 4
+
+    def discrepancy(self, y):
+        y = jnp.asarray(y, jnp.float32)
+        return jnp.sqrt(jnp.sum(jnp.square(y - self.y_obs), axis=-1))
+
+    def tile_program(self, *, lp_scale: float = 0.1):
+        """The problem as a :class:`TileProgram` for the generic fused
+        Pallas kernel."""
+        from ..ops.pallas.generic_kernel import ma2_tile_program
+        return ma2_tile_program(self, lp_scale=lp_scale)
 
 
 class HighDimMixtureProblem(ABCProblem):

@@ -4,6 +4,7 @@ from .global_mcmc import GlobalMCMCConfig, build_global_mcmc_step, run_global_mc
 from .glmcmc import GLMCMCConfig, build_glmcmc_step, run_glmcmc
 from .glmala_fused import run_glmala_fused
 from .glmcmc_fused import run_glmcmc_fused, run_global_mcmc_fused
+from .fused_program import run_fused_program
 
 __all__ = [
     "MoveCounts",
@@ -22,5 +23,6 @@ __all__ = [
     "run_glmcmc",
     "run_glmcmc_fused",
     "run_global_mcmc_fused",
+    "run_fused_program",
     "run_glmala_fused",
 ]

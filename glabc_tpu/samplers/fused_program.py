@@ -1,0 +1,127 @@
+"""Driver for the generic fused Pallas kernel (:mod:`generic_kernel`).
+
+``run_fused_program`` runs any :class:`TileProgram` — an arbitrary user
+problem lowered to tile callables — through the same fused transition loop,
+segmentation, history collection, and ``SamplerResult`` contract as the
+Mixture-specialized drivers (``run_glmcmc_fused``).  The reference has no
+counterpart (its hot loop is the sequential Python body at
+``GLMCMC.py:58-104``); this is the mechanism that extends the framework's
+speed-of-light path beyond the built-in problem families.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pallas.generic_kernel import GenericFusedGLMCMC, TileProgram
+from .base import MoveCounts, SamplerResult
+
+__all__ = ["run_fused_program", "program_state_init"]
+
+_SUB = 8
+
+
+def program_state_init(problem, key, theta0, num_chains: int, d_pad: int,
+                       y_rows: int):
+    """Initial ``(d_pad, C)`` theta/y tiles + ``(1, C)`` log-kernel, from
+    the host-side problem (one simulation per chain, like the scan path)."""
+    d = problem.theta_dim
+    theta0 = jnp.asarray(theta0, jnp.float32).reshape(-1)
+    theta = jnp.zeros((d_pad, num_chains), jnp.float32)
+    theta = theta.at[:d, :].set(theta0[:, None])
+    y0 = jax.vmap(problem.simulate)(
+        jax.random.split(jax.random.fold_in(key, 1), num_chains),
+        jnp.broadcast_to(theta0, (num_chains, d)),
+    )  # (C, y_rows)
+    y = jnp.zeros((d_pad, num_chains), jnp.float32)
+    y = y.at[:y_rows, :].set(y0.T)
+    logk = problem.kernel_log_prob(problem.discrepancy(y0))[None, :]
+    return theta, y, logk
+
+
+def run_fused_program(problem, program: TileProgram, key, num_ite, theta0,
+                      *, global_frequency=0.9, batch_size=5,
+                      num_chains: int = 1024, steps_per_call: int = 256,
+                      block_chains: int = 512, collect_history: bool = True,
+                      on_segment=None, seed: int | None = None,
+                      algorithm: str = "glmcmc", mesh=None,
+                      interpret: bool = False) -> SamplerResult:
+    """GLMCMC (``algorithm='glmcmc'``) or GlobalMCMC (``'global'``) on an
+    arbitrary :class:`TileProgram` via the generic fused Pallas kernel.
+
+    ``problem`` supplies the host-side pieces (initial simulation +
+    kernel log-prob); ``program`` is its tile-level lowering (e.g.
+    ``problem.tile_program()``).  Segmentation/ragged-``num_ite`` semantics
+    match :func:`run_glmcmc_fused`; ``mesh`` shards the chain axis via
+    ``shard_map`` as in the packed drivers.
+    """
+    d = program.theta_dim
+    assert d == problem.theta_dim
+    assert num_chains % block_chains == 0
+
+    kern = GenericFusedGLMCMC(
+        program, global_frequency=global_frequency, batch_size=batch_size,
+        steps_per_call=steps_per_call, block_chains=block_chains,
+        collect_history=collect_history, interpret=interpret,
+        algorithm=algorithm,
+    )
+    theta, y, logk = program_state_init(problem, key, theta0, num_chains,
+                                        kern.d_pad, program.y_rows)
+    theta0_arr = np.asarray(theta)[:d, :].T[:, None, :]  # (C, 1, d)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import CHAIN_AXIS
+        n_dev = mesh.devices.size
+        assert num_chains % (block_chains * n_dev) == 0
+        sh = NamedSharding(mesh, P(None, CHAIN_AXIS))
+        theta, y = (jax.device_put(x, sh) for x in (theta, y))
+        logk = jax.device_put(logk, sh)
+        run_fn = kern.make_sharded_run(mesh)
+    else:
+        run_fn = kern.run
+
+    if seed is None:
+        seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
+                                      0, 2**31 - 1))
+
+    total = num_ite - 1
+    blocks = [theta0_arr] if collect_history else []
+    g_att = np.zeros((num_chains,), np.float64)
+    g_acc = np.zeros((num_chains,), np.float64)
+    l_acc = np.zeros((num_chains,), np.float64)
+    steps_run = 0
+    done = 0
+    call_idx = 0
+    while done < total:
+        call_idx += 1
+        theta, y, logk, hist, stats = run_fn(
+            np.int32((seed + call_idx) % (2**31 - 1)), theta, y, logk
+        )
+        take = min(kern.T, total - done)
+        if collect_history:
+            block = np.asarray(hist)[:take, :d, :]      # (take, d, C)
+            block = np.moveaxis(block, 2, 0)            # (C, take, d)
+            if on_segment is not None:
+                on_segment(block, done)
+            blocks.append(block)
+        frac = take / kern.T
+        g_att += np.asarray(stats.global_attempts)[0] * frac
+        g_acc += np.asarray(stats.global_accepts)[0] * frac
+        l_acc += np.asarray(stats.local_accepts)[0] * frac
+        steps_run += take
+        done += take
+
+    thetas = (np.concatenate(blocks, axis=1) if collect_history
+              else np.asarray(theta)[:d, :].T[:, None, :])
+    g_att_i = np.rint(g_att).astype(np.int32)
+    counts = MoveCounts(
+        global_attempts=g_att_i,
+        global_accepts=np.rint(g_acc).astype(np.int32),
+        local_attempts=(steps_run - g_att_i).astype(np.int32),
+        local_accepts=np.rint(l_acc).astype(np.int32),
+    )
+    return SamplerResult(thetas=thetas, counts=counts,
+                         final_carry=(theta, y, logk))

@@ -126,6 +126,66 @@ def test_global_mcmc_fused_posterior():
         assert 0.4 < gf < 0.6, (kern, gf)
 
 
+def test_generic_program_mixture_posterior():
+    """The generic fused kernel running the Mixture tile program must
+    reproduce the specialized kernels' posterior (same bands)."""
+    import jax.numpy as jnp
+    from glabc_tpu import MixtureProblem
+    from glabc_tpu.ops.pallas.generic_kernel import mixture_tile_program
+    from glabc_tpu.samplers.fused_program import run_fused_program
+
+    prob = MixtureProblem(0.05)
+    prog = mixture_tile_program(prob, ip_loc=0.0, ip_scale=1.0,
+                                lp_scale=0.35)
+    res = run_fused_program(prob, prog, jax.random.PRNGKey(11), 2049,
+                            jnp.zeros(2), global_frequency=0.9,
+                            batch_size=5, num_chains=1024,
+                            steps_per_call=256, block_chains=512)
+    ch = res.thetas[:, 256:, :].reshape(-1, 2).astype(np.float64)
+    absmean = np.abs(ch).mean(0)
+    var = ch.var(0)
+    assert np.all(absmean > 1.3) and np.all(absmean < 1.6), absmean
+    assert np.all(var > 1.8) and np.all(var < 2.4), var
+    gf = np.asarray(res.counts.global_attempts).mean() / 2048
+    assert 0.85 < gf < 0.95, gf
+
+
+def test_generic_program_ma2_matches_scan():
+    """MA(2) through the generic fused kernel vs the scan path: same
+    posterior moments (the two implementations share only the problem
+    definition, so agreement validates the in-kernel streaming simulator,
+    the triangle-support masking, and the box-uniform iSIR proposal)."""
+    import jax.numpy as jnp
+    from glabc_tpu import MA2Problem, DiagGaussian, Uniform
+    from glabc_tpu.samplers import run_glmcmc
+    from glabc_tpu.samplers.fused_program import run_fused_program
+
+    prob = MA2Problem()  # T=100, eps=0.2, theta_true=(0.6, 0.2)
+    theta0 = jnp.zeros(2)
+
+    res_f = run_fused_program(prob, prob.tile_program(lp_scale=0.1),
+                              jax.random.PRNGKey(21), 2049, theta0,
+                              global_frequency=0.8, batch_size=5,
+                              num_chains=1024, steps_per_call=256,
+                              block_chains=512)
+    ch_f = res_f.thetas[:, 512:, :].reshape(-1, 2).astype(np.float64)
+
+    ip = Uniform(jnp.array([-2.0, -1.0], jnp.float32),
+                 jnp.array([2.0, 1.0], jnp.float32))
+    lp = DiagGaussian.create(2, 0.0, float(jnp.log(0.1)))
+    res_s = run_glmcmc(prob, jax.random.PRNGKey(22), 2049, theta0, ip, lp,
+                       0.8, 5, num_chains=64, segment_size=2049)
+    ch_s = res_s.thetas[:, 512:, :].reshape(-1, 2).astype(np.float64)
+
+    mf, ms = ch_f.mean(0), ch_s.mean(0)
+    assert np.all(np.abs(mf - ms) < 0.1), (mf, ms)
+    assert np.all(np.abs(ch_f.std(0) - ch_s.std(0)) < 0.1), (
+        ch_f.std(0), ch_s.std(0))
+    # chains stay inside the triangular prior support
+    assert np.all(ch_f[:, 1] < 1.0 + 1e-6)
+    assert np.all(ch_f[:, 1] > np.abs(ch_f[:, 0]) - 1.0 - 1e-6)
+
+
 def test_glmala_driver_mesh_single_device():
     """run_glmala_fused(mesh=) on a 1-device TPU mesh: the shard_map path
     must reproduce the direct path's posterior."""
