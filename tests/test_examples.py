@@ -50,3 +50,10 @@ def test_mixture_hyper_example():
              timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "best global_frequency" in r.stdout
+
+
+def test_ma2_example_scan():
+    r = _run(["examples/ma2.py", "--method", "scan", "--num-ite", "200",
+              "--chains", "2", "--num-draws", "16"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "transitions/s" in r.stdout
