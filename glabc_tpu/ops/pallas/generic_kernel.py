@@ -418,16 +418,46 @@ def ma2_tile_program(problem, *, lp_scale=0.1) -> TileProgram:
         # replicated Mosaic layout, clashing with the loop body's concrete
         # layout ("Invalid relayout ... replicated in destination")
         zero = e1 * 0.0
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
+        row_ge1 = (rows >= 1).astype(jnp.float32)
+        row_ge2 = (rows >= 2).astype(jnp.float32)
+        row0 = (rows == 0).astype(jnp.float32)
+        row1 = (rows == 1).astype(jnp.float32)
 
-        def step(t, carry):
+        def block8(E, carry):
+            """Advance 8 timesteps at once: innovations for steps
+            t..t+7 live on the 8 sublane rows of ``E``; the lag-1/2 series
+            are the same tile rolled down 1/2 rows with the top rows
+            patched from the previous block's tail (carried scalars).
+            Full VPU sublane utilization vs the 1-row scalar recursion."""
+            e1, e2, y1, y2, s0, s1, s2 = carry
+            Em1 = pltpu.roll(E, 1, axis=0) * row_ge1 + e1 * row0
+            Em2 = (pltpu.roll(E, 2, axis=0) * row_ge2 + e2 * row0
+                   + e1 * row1)
+            Y = E + th1 * Em1 + th2 * Em2
+            Ym1 = pltpu.roll(Y, 1, axis=0) * row_ge1 + y1 * row0
+            Ym2 = (pltpu.roll(Y, 2, axis=0) * row_ge2 + y2 * row0
+                   + y1 * row1)
+            return (tl.row(E, 7), tl.row(E, 6), tl.row(Y, 7), tl.row(Y, 6),
+                    s0 + tl.rowsum(Y * Y, _SUB),
+                    s1 + tl.rowsum(Y * Ym1, _SUB),
+                    s2 + tl.rowsum(Y * Ym2, _SUB))
+
+        def pair_step(t, carry):
+            EA, EB = _normal_pair((_SUB, tl.C))   # 16 innovations per draw
+            return block8(EB, block8(EA, carry))
+
+        def scalar_step(t, carry):
             e1, e2, y1, y2, s0, s1, s2 = carry
             e = _normal_pair((1, tl.C))[0]
             yt = e + th1 * e1 + th2 * e2
             return (e, e1, yt, y1,
                     s0 + yt * yt, s1 + yt * y1, s2 + yt * y2)
 
-        _, _, _, _, s0, s1, s2 = jax.lax.fori_loop(
-            0, T, step, (e1, e2, zero, zero, zero, zero, zero))
+        carry = (e1, e2, zero, zero, zero, zero, zero)
+        carry = jax.lax.fori_loop(0, T // 16, pair_step, carry)
+        carry = jax.lax.fori_loop(0, T % 16, scalar_step, carry)
+        s0, s1, s2 = carry[4:]
         inv_t = 1.0 / T
         return tl.from_rows([s0 * inv_t, s1 * inv_t, s2 * inv_t])
 
