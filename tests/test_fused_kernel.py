@@ -126,6 +126,33 @@ def test_global_mcmc_fused_posterior():
         assert 0.4 < gf < 0.6, (kern, gf)
 
 
+def test_packed_glmcmc_high_dim():
+    """d=8 (pack=1) packed kernel on HighDimMixtureProblem: posterior
+    matches the scan path run with the same proposals."""
+    import jax.numpy as jnp
+    from glabc_tpu import DiagGaussian, HighDimMixtureProblem
+    from glabc_tpu.samplers import run_glmcmc
+    from glabc_tpu.samplers.glmcmc_fused import run_glmcmc_fused
+
+    prob = HighDimMixtureProblem(dim=8, epsilon=0.5)
+    res_f = run_glmcmc_fused(prob, jax.random.PRNGKey(7), 2049,
+                             jnp.zeros(8), num_chains=1024,
+                             steps_per_call=256, block_chains=512,
+                             kernel="packed")
+    ch_f = res_f.thetas[:, 512:, :].reshape(-1, 8).astype(np.float64)
+
+    ip = DiagGaussian.create(8, 0.0, 0.0)
+    lp = DiagGaussian.create(8, 0.0, float(jnp.log(0.35)))
+    res_s = run_glmcmc(prob, jax.random.PRNGKey(8), 2049, jnp.zeros(8),
+                       ip, lp, 0.9, 5, num_chains=64, segment_size=2049)
+    ch_s = res_s.thetas[:, 512:, :].reshape(-1, 8).astype(np.float64)
+
+    am_f, am_s = np.abs(ch_f).mean(0), np.abs(ch_s).mean(0)
+    assert np.all(np.abs(am_f - am_s) < 0.15), (am_f, am_s)
+    assert np.all(np.abs(ch_f.var(0) - ch_s.var(0)) < 0.3), (
+        ch_f.var(0), ch_s.var(0))
+
+
 def test_generic_program_mixture_posterior():
     """The generic fused kernel running the Mixture tile program must
     reproduce the specialized kernels' posterior (same bands)."""
