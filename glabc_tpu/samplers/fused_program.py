@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pallas.generic_kernel import GenericFusedGLMCMC, TileProgram
+from ._fused_io import _restore_fused, _save_fused
 from .base import MoveCounts, SamplerResult
 
 __all__ = ["run_fused_program", "program_state_init"]
@@ -47,7 +48,9 @@ def run_fused_program(problem, program: TileProgram, key, num_ite, theta0,
                       block_chains: int = 512, collect_history: bool = True,
                       on_segment=None, seed: int | None = None,
                       algorithm: str = "glmcmc", mesh=None,
-                      interpret: bool = False) -> SamplerResult:
+                      interpret: bool = False,
+                      checkpoint_path: str | None = None,
+                      resume: bool = False) -> SamplerResult:
     """GLMCMC (``algorithm='glmcmc'``) or GlobalMCMC (``'global'``) on an
     arbitrary :class:`TileProgram` via the generic fused Pallas kernel.
 
@@ -88,13 +91,29 @@ def run_fused_program(problem, program: TileProgram, key, num_ite, theta0,
                                       0, 2**31 - 1))
 
     total = num_ite - 1
-    blocks = [theta0_arr] if collect_history else []
     g_att = np.zeros((num_chains,), np.float64)
     g_acc = np.zeros((num_chains,), np.float64)
     l_acc = np.zeros((num_chains,), np.float64)
     steps_run = 0
     done = 0
     call_idx = 0
+    if resume and checkpoint_path is not None:
+        restored = _restore_fused(checkpoint_path)
+        if restored is not None:
+            snap, done = restored
+            theta, y, logk = snap["state"]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel.mesh import CHAIN_AXIS
+                sh = NamedSharding(mesh, P(None, CHAIN_AXIS))
+                theta, y, logk = (jax.device_put(x, sh)
+                                  for x in (theta, y, logk))
+            g_att, g_acc, l_acc = (np.asarray(x, np.float64)
+                                   for x in snap["counters"])
+            steps_run = int(snap["steps_run"])
+            call_idx = int(snap["call_idx"])
+            seed = int(snap["seed"])
+    blocks = [theta0_arr] if (collect_history and done == 0) else []
     while done < total:
         call_idx += 1
         theta, y, logk, hist, stats = run_fn(
@@ -113,8 +132,13 @@ def run_fused_program(problem, program: TileProgram, key, num_ite, theta0,
         l_acc += np.asarray(stats.local_accepts)[0] * frac
         steps_run += take
         done += take
+        if checkpoint_path is not None:
+            _save_fused(checkpoint_path, (theta, y, logk),
+                        (g_att, g_acc, l_acc), steps_run, call_idx, seed,
+                        done)
 
-    thetas = (np.concatenate(blocks, axis=1) if collect_history
+    thetas = (np.concatenate(blocks, axis=1)
+              if collect_history and blocks
               else np.asarray(theta)[:d, :].T[:, None, :])
     g_att_i = np.rint(g_att).astype(np.int32)
     counts = MoveCounts(

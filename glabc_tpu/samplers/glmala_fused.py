@@ -16,6 +16,7 @@ import numpy as np
 
 from ..ops.pallas.glmala_kernel import PackedMixtureGLMALA, packed_grad_init
 from ..ops.pallas.packed_kernel import packed_state_init, unpack_history
+from ._fused_io import _restore_fused, _save_fused
 from .base import MoveCounts, SamplerResult
 
 __all__ = ["run_glmala_fused"]
@@ -37,7 +38,8 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                      steps_per_call: int = 32, block_chains: int = 512,
                      collect_history: bool = True, coin_mode: str = "shared",
                      on_segment=None, seed: int | None = None,
-                     mesh=None) -> SamplerResult:
+                     mesh=None, checkpoint_path: str | None = None,
+                     resume: bool = False) -> SamplerResult:
     """GLMALA via the fused Pallas kernel.  Returns a
     :class:`SamplerResult` with chains ``(num_chains, num_ite, d)`` (initial
     state at index 0), matching the scan path's conventions.
@@ -101,16 +103,32 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
     if seed is None:
         seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
                                       0, 2**31 - 1))
-    coin_rng = np.random.default_rng(seed)
 
     total = num_ite - 1
-    blocks = [theta0_arr] if collect_history else []
     g_att = np.zeros((num_chains,), np.float64)
     g_acc = np.zeros((num_chains,), np.float64)
     l_acc = np.zeros((num_chains,), np.float64)
     steps_run = 0
     done = 0
     call_idx = 0
+    if resume and checkpoint_path is not None:
+        restored = _restore_fused(checkpoint_path)
+        if restored is not None:
+            snap, done = restored
+            theta, y, logk, grad = snap["state"]
+            if mesh is not None:
+                theta, y, logk, grad = (jax.device_put(x, sh)
+                                        for x in (theta, y, logk, grad))
+            g_att, g_acc, l_acc = (np.asarray(x, np.float64)
+                                   for x in snap["counters"])
+            steps_run = int(snap["steps_run"])
+            call_idx = int(snap["call_idx"])
+            seed = int(snap["seed"])
+    coin_rng = np.random.default_rng(seed)
+    for _ in range(call_idx):  # replay the host coin stream on resume
+        coin_rng.random(kern.T)
+    include_init = done == 0
+    blocks = [theta0_arr] if (collect_history and include_init) else []
     while done < total:
         call_idx += 1
         coins = (coin_rng.random(kern.T) < global_frequency).astype(np.int32)
@@ -130,8 +148,13 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         l_acc += _unpack_stats(stats.local_accepts, pack, d) * frac
         steps_run += take
         done += take
+        if checkpoint_path is not None:
+            _save_fused(checkpoint_path, (theta, y, logk, grad),
+                        (g_att, g_acc, l_acc), steps_run, call_idx, seed,
+                        done)
 
-    thetas = (np.concatenate(blocks, axis=1) if collect_history
+    thetas = (np.concatenate(blocks, axis=1)
+              if collect_history and blocks
               else unpack_history(np.asarray(theta)[None], d))
     g_att_i = np.rint(g_att).astype(np.int32)
     counts = MoveCounts(

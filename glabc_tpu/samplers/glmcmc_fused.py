@@ -18,6 +18,7 @@ from ..ops.pallas.packed_kernel import (
     packed_state_init,
     unpack_history,
 )
+from ._fused_io import _restore_fused, _save_fused
 from .base import MoveCounts, SamplerResult
 
 __all__ = ["run_glmcmc_fused", "run_global_mcmc_fused"]
@@ -32,7 +33,9 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                      block_chains: int = 512, collect_history: bool = True,
                      on_segment=None, seed: int | None = None,
                      kernel: str = "auto", mesh=None,
-                     algorithm: str = "glmcmc") -> SamplerResult:
+                     algorithm: str = "glmcmc",
+                     checkpoint_path: str | None = None,
+                     resume: bool = False) -> SamplerResult:
     """GLMCMC via the fused Pallas kernel.  Returns a
     :class:`SamplerResult` with chains of length ``num_ite`` (initial state
     at index 0), matching the scan path's conventions.
@@ -52,6 +55,12 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
     ``shard_map`` (chain-elementwise, zero collectives; per-device PRNG
     streams tile the single-grid pattern).  Requires the packed kernel and
     ``num_chains`` divisible by ``pack * block_chains * mesh size``.
+
+    ``checkpoint_path``/``resume``: scan-path semantics
+    (:func:`sample_with_step`) — the full loop state (packed tiles, move
+    counters, PRNG seed, call index) is snapshotted after every kernel
+    launch; ``resume=True`` continues exactly where the run stopped and
+    the resumed result contains only the remaining transitions.
 
     Note: the kernel always runs ``steps_per_call`` transitions per launch;
     if ``num_ite - 1`` is not a multiple of it, the recorded history is
@@ -133,13 +142,27 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                                       0, 2**31 - 1))
 
     total = num_ite - 1
-    blocks = [theta0_arr] if collect_history else []
     g_att = np.zeros((num_chains,), np.float64)
     g_acc = np.zeros((num_chains,), np.float64)
     l_acc = np.zeros((num_chains,), np.float64)
     steps_run = 0
     done = 0
     call_idx = 0
+    if resume and checkpoint_path is not None:
+        restored = _restore_fused(checkpoint_path, mesh)
+        if restored is not None:
+            snap, done = restored
+            theta, y, logk = snap["state"]
+            if mesh is not None:
+                theta, y, logk = (jax.device_put(x, sh)
+                                  for x in (theta, y, logk))
+            g_att, g_acc, l_acc = (np.asarray(x, np.float64)
+                                   for x in snap["counters"])
+            steps_run = int(snap["steps_run"])
+            call_idx = int(snap["call_idx"])
+            seed = int(snap["seed"])
+    include_init = done == 0
+    blocks = [theta0_arr] if (collect_history and include_init) else []
     while done < total:
         call_idx += 1
         theta, y, logk, hist, stats = run_fn(
@@ -158,8 +181,12 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         l_acc += stats_row(stats.local_accepts) * frac
         steps_run += take
         done += take
+        if checkpoint_path is not None:
+            _save_fused(checkpoint_path, (theta, y, logk),
+                        (g_att, g_acc, l_acc), steps_run, call_idx, seed,
+                        done)
 
-    if collect_history:
+    if collect_history and blocks:
         thetas = np.concatenate(blocks, axis=1)
     elif kernel == "packed":
         thetas = unpack_history(np.asarray(theta)[None], d)

@@ -126,6 +126,58 @@ def test_global_mcmc_fused_posterior():
         assert 0.4 < gf < 0.6, (kern, gf)
 
 
+def test_fused_checkpoint_resume_bitwise(tmp_path):
+    """Packed-driver checkpoint/resume: the interrupted-and-resumed run
+    reproduces the uninterrupted run bitwise (same seed => same stream)."""
+    import jax.numpy as jnp
+    from glabc_tpu import MixtureProblem
+    from glabc_tpu.samplers.glmcmc_fused import run_glmcmc_fused
+
+    prob = MixtureProblem(0.05)
+    kw = dict(num_chains=2048, steps_per_call=64, block_chains=512,
+              kernel="packed", seed=99)
+    full = run_glmcmc_fused(prob, jax.random.PRNGKey(5), 257, jnp.zeros(2),
+                            **kw)
+
+    ck = str(tmp_path / "fused.npz")
+    part = run_glmcmc_fused(prob, jax.random.PRNGKey(5), 129, jnp.zeros(2),
+                            checkpoint_path=ck, **kw)
+    resumed = run_glmcmc_fused(prob, jax.random.PRNGKey(5), 257,
+                               jnp.zeros(2), checkpoint_path=ck,
+                               resume=True, **kw)
+    np.testing.assert_array_equal(
+        np.concatenate([part.thetas, resumed.thetas], axis=1), full.thetas)
+    np.testing.assert_array_equal(np.asarray(full.final_carry[0]),
+                                  np.asarray(resumed.final_carry[0]))
+    np.testing.assert_array_equal(
+        np.asarray(full.counts.global_attempts),
+        np.asarray(resumed.counts.global_attempts))
+
+
+def test_glmala_checkpoint_resume_bitwise(tmp_path):
+    """GLMALA fused driver resume: bitwise, including the host-side
+    shared-coin stream replay."""
+    import jax.numpy as jnp
+    from glabc_tpu import MixtureProblem
+    from glabc_tpu.samplers.glmala_fused import run_glmala_fused
+
+    prob = MixtureProblem(0.05)
+    kw = dict(num_chains=2048, num_grad=5, steps_per_call=16,
+              block_chains=512, coin_mode="shared", seed=77)
+    full = run_glmala_fused(prob, jax.random.PRNGKey(6), 65, jnp.zeros(2),
+                            **kw)
+    ck = str(tmp_path / "glmala.npz")
+    part = run_glmala_fused(prob, jax.random.PRNGKey(6), 33, jnp.zeros(2),
+                            checkpoint_path=ck, **kw)
+    resumed = run_glmala_fused(prob, jax.random.PRNGKey(6), 65,
+                               jnp.zeros(2), checkpoint_path=ck,
+                               resume=True, **kw)
+    np.testing.assert_array_equal(
+        np.concatenate([part.thetas, resumed.thetas], axis=1), full.thetas)
+    np.testing.assert_array_equal(np.asarray(full.final_carry[0]),
+                                  np.asarray(resumed.final_carry[0]))
+
+
 def test_packed_glmcmc_high_dim():
     """d=8 (pack=1) packed kernel on HighDimMixtureProblem: posterior
     matches the scan path run with the same proposals."""

@@ -102,3 +102,29 @@ def test_ma2_problem_scan_path():
     assert np.all(np.isfinite(ch))
     assert np.all(ch[:, 1] < 1.0 + 1e-6)
     assert np.all(ch[:, 1] > np.abs(ch[:, 0]) - 1.0 - 1e-6)
+
+
+def test_run_fused_program_checkpoint_resume(tmp_path):
+    """Interrupted-and-resumed run reproduces the uninterrupted one
+    (interpret mode: deterministic, validates state/counter/seed replay)."""
+    prob = MA2Problem(num_draws=16)
+    prog = prob.tile_program()
+    kw = dict(num_chains=256, steps_per_call=2, block_chains=128,
+              batch_size=2, interpret=True, seed=123)
+    full = run_fused_program(prob, prog, KEY, 9, jnp.zeros(2), **kw)
+
+    ck = str(tmp_path / "fused.npz")
+    part = run_fused_program(prob, prog, KEY, 5, jnp.zeros(2),
+                             checkpoint_path=ck, **kw)
+    resumed = run_fused_program(prob, prog, KEY, 9, jnp.zeros(2),
+                                checkpoint_path=ck, resume=True, **kw)
+    np.testing.assert_array_equal(
+        np.concatenate([part.thetas, resumed.thetas], axis=1),
+        full.thetas)
+    # counters are restored with the carry: the resumed result reports
+    # cumulative whole-run counts
+    np.testing.assert_array_equal(
+        np.asarray(full.counts.global_attempts),
+        np.asarray(resumed.counts.global_attempts))
+    np.testing.assert_array_equal(np.asarray(full.final_carry[0]),
+                                  np.asarray(resumed.final_carry[0]))
