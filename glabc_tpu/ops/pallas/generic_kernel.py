@@ -36,6 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .sharding import SEED_STRIDE
+
 from .mixture_kernel import (
     FusedStats,
     _gumbel,
@@ -175,7 +177,7 @@ class GenericFusedGLMCMC:
         p, gf, B, C = self.p, self.gf, self.B, self.C_blk
         tl = TileLib(self.d_pad, C)
 
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(-1640531527))
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(SEED_STRIDE))
 
         def body(t, state):
             theta, y, logk, acc, gatt, gacc, lacc = state
@@ -297,30 +299,12 @@ class GenericFusedGLMCMC:
                 (hist if self.collect_history else None), stats)
 
     def make_sharded_run(self, mesh):
-        """Chain-axis ``shard_map`` variant of :meth:`run` (same seed
-        tiling as the packed kernels — zero collectives)."""
-        from jax.sharding import PartitionSpec as P
-        from ...parallel.mesh import CHAIN_AXIS
-
-        def worker(seed, theta, y, logk):
-            my = jax.lax.axis_index(CHAIN_AXIS)
-            n_blk_local = theta.shape[-1] // self.C_blk
-            seed_dev = seed + (my.astype(jnp.int32)
-                               * jnp.int32(n_blk_local)
-                               * jnp.int32(-1640531527))
-            return self.run(seed_dev, theta, y, logk)
-
-        state_p = P(None, CHAIN_AXIS)
-        hist_p = P(None, None, CHAIN_AXIS)
-        stats_p = FusedStats(state_p, state_p, state_p, state_p)
-        sharded = jax.shard_map(
-            worker, mesh=mesh,
-            in_specs=(P(), state_p, state_p, state_p),
-            out_specs=(state_p, state_p, state_p,
-                       (hist_p if self.collect_history else None), stats_p),
-            check_vma=False,
-        )
-        return jax.jit(sharded)
+        """Chain-axis ``shard_map`` variant of :meth:`run` — see
+        :func:`~glabc_tpu.ops.pallas.sharding.make_sharded_kernel_run`."""
+        from .sharding import make_sharded_kernel_run
+        return make_sharded_kernel_run(self.run, self.C_blk, 3, 0,
+                                       FusedStats, self.collect_history,
+                                       mesh)
 
 
 # ======================================================================

@@ -68,6 +68,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .sharding import SEED_STRIDE
+
 from .mixture_kernel import _gumbel, _normal_pair, _uniform
 
 __all__ = ["PackedMixtureGLMALA", "packed_grad_init"]
@@ -133,7 +135,7 @@ class PackedMixtureGLMALA:
         eps, sigma, tau, fd = self.eps, self.sigma, self.tau, self.fd
         n_g = self.num_grad
 
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(-1640531527))
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(SEED_STRIDE))
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
         leader = (rows % d == 0).astype(jnp.float32)
@@ -399,39 +401,16 @@ class PackedMixtureGLMALA:
                 (hist if self.collect_history else None), stats)
 
     def make_sharded_run(self, mesh):
-        """Multi-chip variant of :meth:`run`: the chain (lane) axis is
-        sharded over ``mesh`` and the pallas_call runs per-device inside
-        ``shard_map`` (chain-elementwise transition, zero collectives).
-        Per-device PRNG seeds are offset by ``device_index * local_blocks``
-        grid slots so the device streams tile the single-grid seed->stream
-        pattern; the per-step ``coins`` vector is replicated so shared-coin
-        mode stays globally coherent across devices.
-
-        Returns ``run(seed, coins, theta, y, logk, grad)`` taking
-        globally-sharded ``(8, C)`` arrays (shard with
-        ``NamedSharding(mesh, P(None, 'chains'))``)."""
-        from jax.sharding import PartitionSpec as P
-        from ...parallel.mesh import CHAIN_AXIS
-
-        def worker(seed, coins, theta, y, logk, grad):
-            my = jax.lax.axis_index(CHAIN_AXIS)
-            n_blk_local = theta.shape[-1] // self.C_blk
-            seed_dev = seed + (my.astype(jnp.int32)
-                               * jnp.int32(n_blk_local)
-                               * jnp.int32(-1640531527))
-            return self.run(seed_dev, coins, theta, y, logk, grad)
-
-        state_p = P(None, CHAIN_AXIS)
-        hist_p = P(None, None, CHAIN_AXIS)
-        stats_p = GLMALAStats(state_p, state_p, state_p, state_p)
-        sharded = jax.shard_map(
-            worker, mesh=mesh,
-            in_specs=(P(), P(), state_p, state_p, state_p, state_p),
-            out_specs=(state_p, state_p, state_p, state_p,
-                       (hist_p if self.collect_history else None), stats_p),
-            check_vma=False,
-        )
-        return jax.jit(sharded)
+        """Multi-chip variant of :meth:`run` — see
+        :func:`~glabc_tpu.ops.pallas.sharding.make_sharded_kernel_run`.
+        The per-step ``coins`` vector is replicated so shared-coin mode
+        stays globally coherent across devices.  Returns
+        ``run(seed, coins, theta, y, logk, grad)`` taking globally-sharded
+        ``(8, C)`` arrays."""
+        from .sharding import make_sharded_kernel_run
+        return make_sharded_kernel_run(self.run, self.C_blk, 4, 1,
+                                       GLMALAStats, self.collect_history,
+                                       mesh)
 
 
 def packed_grad_init(problem, key, theta0, num_cols: int, pack: int,

@@ -32,6 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .sharding import SEED_STRIDE
+
 __all__ = ["FusedMixtureGLMCMC", "FusedStats", "fused_state_init"]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
@@ -153,7 +155,7 @@ class FusedMixtureGLMCMC:
             y_obs = jnp.where(rows == j, y_obs_ref[j], y_obs)
 
         # distinct stream per grid program (golden-ratio hash of program id)
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(-1640531527))
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(SEED_STRIDE))
 
         log_norm_const = -0.5 * _LOG_2PI  # per-dim Gaussian constant
 

@@ -28,6 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .sharding import SEED_STRIDE
+
 from .mixture_kernel import _gumbel, _normal_pair, _uniform
 
 __all__ = ["PackedMixtureGLMCMC", "packed_state_init", "unpack_history"]
@@ -86,7 +88,7 @@ class PackedMixtureGLMCMC:
         d, pack, gf, B, C = self.d, self.pack, self.gf, self.B, self.C_blk
         eps, sigma = self.eps, self.sigma
 
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(-1640531527))
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * np.int32(SEED_STRIDE))
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
         leader = (rows % d == 0).astype(jnp.float32)   # group-leader rows
@@ -290,44 +292,15 @@ class PackedMixtureGLMCMC:
                 (hist if self.collect_history else None), stats)
 
     def make_sharded_run(self, mesh):
-        """Multi-chip variant of :meth:`run`: the chain (lane) axis is
-        sharded over ``mesh`` and the pallas_call runs per-device inside
-        ``shard_map`` (the transition kernel is chain-elementwise, so there
-        are no collectives).  Per-device PRNG seeds are offset by
-        ``device_index * local_blocks`` grid slots, so the device streams
-        tile the exact seed->stream pattern of one big single-device grid.
-
+        """Multi-chip variant of :meth:`run` — see
+        :func:`~glabc_tpu.ops.pallas.sharding.make_sharded_kernel_run`.
         Returns ``run(seed, theta, y, logk)`` taking globally-sharded
         ``(8, C)`` arrays (shard with
         ``NamedSharding(mesh, P(None, 'chains'))``)."""
-        from jax.sharding import PartitionSpec as P
-        from ...parallel.mesh import CHAIN_AXIS
-
-        n_dev = mesh.devices.size
-
-        def worker(seed, theta, y, logk):
-            my = jax.lax.axis_index(CHAIN_AXIS)
-            n_blk_local = theta.shape[-1] // self.C_blk
-            # stream(pid) = seed + pid * PHI in-kernel; offsetting the seed
-            # by my * n_blk_local * PHI makes device d's local grid occupy
-            # slots [d*n_blk_local, (d+1)*n_blk_local) of the single-grid
-            # stream pattern.
-            seed_dev = seed + (my.astype(jnp.int32)
-                               * jnp.int32(n_blk_local)
-                               * jnp.int32(-1640531527))
-            return self.run(seed_dev, theta, y, logk)
-
-        state_p = P(None, CHAIN_AXIS)
-        hist_p = P(None, None, CHAIN_AXIS)
-        stats_p = PackedStats(state_p, state_p, state_p, state_p)
-        sharded = jax.shard_map(
-            worker, mesh=mesh,
-            in_specs=(P(), state_p, state_p, state_p),
-            out_specs=(state_p, state_p, state_p,
-                       (hist_p if self.collect_history else None), stats_p),
-            check_vma=False,
-        )
-        return jax.jit(sharded)
+        from .sharding import make_sharded_kernel_run
+        return make_sharded_kernel_run(self.run, self.C_blk, 3, 0,
+                                       PackedStats, self.collect_history,
+                                       mesh)
 
 
 def packed_state_init(problem, key, theta0, num_cols: int, pack: int):

@@ -127,7 +127,8 @@ class MCMCRunner:
         ``method='fused'`` routes through the fused Pallas kernels with the
         independence-MH global move (Mixture-family problems, isotropic
         Gaussian proposals — same constraints as ``run_glmcmc``'s fused
-        path)."""
+        path).  The fused path re-simulates the initial ``y`` from
+        ``initial_theta`` (``initial_y`` is not used)."""
         writer, on_segment = self._writer(output_file, initial_theta)
         if method == "fused":
             from .samplers.glmcmc_fused import run_global_mcmc_fused
@@ -160,7 +161,9 @@ class MCMCRunner:
         (Mixture-family problems, isotropic Gaussian proposals,
         ``num_chains`` a multiple of 512; ~10^8-10^9 transitions/s/chip on
         TPU).  ``'scan'`` (default) is the XLA-fused path for arbitrary
-        problems, bitwise-reproducible from the key."""
+        problems, bitwise-reproducible from the key.  The fused path
+        re-simulates the initial ``y`` from ``initial_theta``
+        (``initial_y`` is not used)."""
         writer, on_segment = self._writer(output_file, initial_theta)
         if method == "fused":
             from .samplers.glmcmc_fused import run_glmcmc_fused
@@ -208,7 +211,9 @@ class MCMCRunner:
         ``method='fused'`` routes through the packed Pallas GLMALA kernel
         (Mixture-family problems, theta_dim | 8, isotropic importance
         proposal, ``num_chains`` a multiple of ``(8/d) * 512``; the CRN
-        gradient batch runs in VMEM — ~10^8 transitions/s/chip)."""
+        gradient batch runs in VMEM — ~10^8 transitions/s/chip).  The
+        fused path re-simulates the initial ``y`` from ``initial_theta``
+        (``initial_y`` is not used)."""
         writer, on_segment = self._writer(output_file, initial_theta)
         if method == "fused":
             from .samplers.glmala_fused import run_glmala_fused

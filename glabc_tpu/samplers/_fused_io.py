@@ -5,6 +5,13 @@ counters; snapshotting it after every kernel launch gives the same
 crash-resilience contract as the scan path's ``sample_with_step``
 (``checkpoint_path``/``resume``) — SURVEY §5 (the reference is write-only
 CSV with no resume).
+
+Alignment rule: the kernel always runs ``steps_per_call`` transitions per
+launch, so after a ragged final segment (``take < steps_per_call``) the
+carry is ahead of the recorded history.  Checkpoints are therefore only
+written for aligned segments — a resume continues from the last aligned
+point and replays the ragged tail bitwise (same seed/call index ⇒ same
+stream), so the resumed history is gap-free.
 """
 
 from __future__ import annotations
@@ -13,12 +20,15 @@ import os
 
 import numpy as np
 
-__all__ = ["_save_fused", "_restore_fused"]
+__all__ = ["save_fused_ckpt", "restore_fused_ckpt"]
 
 
-def _save_fused(path, state, counters, steps_run, call_idx, seed, done):
-    """Snapshot the fused loop: ``state`` device tiles (tuple), counter
-    arrays, and the scalars needed to continue the PRNG stream."""
+def save_fused_ckpt(path, state, counters, steps_run, call_idx, seed, done,
+                    take, steps_per_call):
+    """Snapshot the fused loop after an ALIGNED kernel launch (no-op for a
+    ragged final segment — see the module docstring)."""
+    if take != steps_per_call:
+        return
     from ..utils.io import save_carry
 
     snap = {
@@ -31,11 +41,15 @@ def _save_fused(path, state, counters, steps_run, call_idx, seed, done):
     save_carry(path, snap, step=done)
 
 
-def _restore_fused(path, mesh=None):
-    """Return ``(snapshot_dict, done)`` or ``None`` if no checkpoint."""
+def restore_fused_ckpt(path):
+    """Return ``(state_tuple, (g_att, g_acc, l_acc), steps_run, call_idx,
+    seed, done)`` or ``None`` if no checkpoint exists.  Counters come back
+    as float64 numpy arrays, scalars as python ints."""
     if not os.path.exists(path):
         return None
     from ..utils.io import load_carry
 
     snap, done = load_carry(path)
-    return snap, int(done)
+    counters = tuple(np.asarray(x, np.float64) for x in snap["counters"])
+    return (snap["state"], counters, int(snap["steps_run"]),
+            int(snap["call_idx"]), int(snap["seed"]), int(done))

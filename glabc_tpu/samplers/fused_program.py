@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pallas.generic_kernel import GenericFusedGLMCMC, TileProgram
-from ._fused_io import _restore_fused, _save_fused
+from ._fused_io import restore_fused_ckpt, save_fused_ckpt
 from .base import MoveCounts, SamplerResult
 
 __all__ = ["run_fused_program", "program_state_init"]
@@ -70,9 +70,17 @@ def run_fused_program(problem, program: TileProgram, key, num_ite, theta0,
         collect_history=collect_history, interpret=interpret,
         algorithm=algorithm,
     )
-    theta, y, logk = program_state_init(problem, key, theta0, num_chains,
-                                        kern.d_pad, program.y_rows)
-    theta0_arr = np.asarray(theta)[:d, :].T[:, None, :]  # (C, 1, d)
+    # restore BEFORE state init so a resume skips the initial simulations
+    restored = (restore_fused_ckpt(checkpoint_path)
+                if resume and checkpoint_path is not None else None)
+    if restored is None:
+        theta, y, logk = program_state_init(problem, key, theta0,
+                                            num_chains, kern.d_pad,
+                                            program.y_rows)
+        theta0_arr = np.asarray(theta)[:d, :].T[:, None, :]  # (C, 1, d)
+    else:
+        (theta, y, logk) = restored[0]
+        theta0_arr = None
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -91,28 +99,16 @@ def run_fused_program(problem, program: TileProgram, key, num_ite, theta0,
                                       0, 2**31 - 1))
 
     total = num_ite - 1
-    g_att = np.zeros((num_chains,), np.float64)
-    g_acc = np.zeros((num_chains,), np.float64)
-    l_acc = np.zeros((num_chains,), np.float64)
-    steps_run = 0
-    done = 0
-    call_idx = 0
-    if resume and checkpoint_path is not None:
-        restored = _restore_fused(checkpoint_path)
-        if restored is not None:
-            snap, done = restored
-            theta, y, logk = snap["state"]
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                from ..parallel.mesh import CHAIN_AXIS
-                sh = NamedSharding(mesh, P(None, CHAIN_AXIS))
-                theta, y, logk = (jax.device_put(x, sh)
-                                  for x in (theta, y, logk))
-            g_att, g_acc, l_acc = (np.asarray(x, np.float64)
-                                   for x in snap["counters"])
-            steps_run = int(snap["steps_run"])
-            call_idx = int(snap["call_idx"])
-            seed = int(snap["seed"])
+    if restored is not None:
+        (_, (g_att, g_acc, l_acc), steps_run, call_idx, seed,
+         done) = restored
+    else:
+        g_att = np.zeros((num_chains,), np.float64)
+        g_acc = np.zeros((num_chains,), np.float64)
+        l_acc = np.zeros((num_chains,), np.float64)
+        steps_run = 0
+        done = 0
+        call_idx = 0
     blocks = [theta0_arr] if (collect_history and done == 0) else []
     while done < total:
         call_idx += 1
@@ -133,9 +129,9 @@ def run_fused_program(problem, program: TileProgram, key, num_ite, theta0,
         steps_run += take
         done += take
         if checkpoint_path is not None:
-            _save_fused(checkpoint_path, (theta, y, logk),
-                        (g_att, g_acc, l_acc), steps_run, call_idx, seed,
-                        done)
+            save_fused_ckpt(checkpoint_path, (theta, y, logk),
+                            (g_att, g_acc, l_acc), steps_run, call_idx,
+                            seed, done, take, kern.T)
 
     thetas = (np.concatenate(blocks, axis=1)
               if collect_history and blocks

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..ops.pallas.glmala_kernel import PackedMixtureGLMALA, packed_grad_init
 from ..ops.pallas.packed_kernel import packed_state_init, unpack_history
-from ._fused_io import _restore_fused, _save_fused
+from ._fused_io import restore_fused_ckpt, save_fused_ckpt
 from .base import MoveCounts, SamplerResult
 
 __all__ = ["run_glmala_fused"]
@@ -82,10 +82,19 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         steps_per_call=steps_per_call, block_chains=block_chains,
         collect_history=collect_history, coin_mode=coin_mode,
     )
-    theta, y, logk = packed_state_init(problem, key, theta0, num_cols, pack)
-    grad = packed_grad_init(problem, key, theta0, num_cols, pack, num_grad,
-                            fd_step)
-    theta0_arr = unpack_history(np.asarray(theta)[None], d)  # (C, 1, d)
+    # restore BEFORE state init so a resume skips the initial simulations
+    # and the num_grad-replicate gradient batch entirely
+    restored = (restore_fused_ckpt(checkpoint_path)
+                if resume and checkpoint_path is not None else None)
+    if restored is None:
+        theta, y, logk = packed_state_init(problem, key, theta0, num_cols,
+                                           pack)
+        grad = packed_grad_init(problem, key, theta0, num_cols, pack,
+                                num_grad, fd_step)
+        theta0_arr = unpack_history(np.asarray(theta)[None], d)  # (C, 1, d)
+    else:
+        (theta, y, logk, grad) = restored[0]
+        theta0_arr = None
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -105,30 +114,20 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                                       0, 2**31 - 1))
 
     total = num_ite - 1
-    g_att = np.zeros((num_chains,), np.float64)
-    g_acc = np.zeros((num_chains,), np.float64)
-    l_acc = np.zeros((num_chains,), np.float64)
-    steps_run = 0
-    done = 0
-    call_idx = 0
-    if resume and checkpoint_path is not None:
-        restored = _restore_fused(checkpoint_path)
-        if restored is not None:
-            snap, done = restored
-            theta, y, logk, grad = snap["state"]
-            if mesh is not None:
-                theta, y, logk, grad = (jax.device_put(x, sh)
-                                        for x in (theta, y, logk, grad))
-            g_att, g_acc, l_acc = (np.asarray(x, np.float64)
-                                   for x in snap["counters"])
-            steps_run = int(snap["steps_run"])
-            call_idx = int(snap["call_idx"])
-            seed = int(snap["seed"])
+    if restored is not None:
+        (_, (g_att, g_acc, l_acc), steps_run, call_idx, seed,
+         done) = restored
+    else:
+        g_att = np.zeros((num_chains,), np.float64)
+        g_acc = np.zeros((num_chains,), np.float64)
+        l_acc = np.zeros((num_chains,), np.float64)
+        steps_run = 0
+        done = 0
+        call_idx = 0
     coin_rng = np.random.default_rng(seed)
     for _ in range(call_idx):  # replay the host coin stream on resume
         coin_rng.random(kern.T)
-    include_init = done == 0
-    blocks = [theta0_arr] if (collect_history and include_init) else []
+    blocks = [theta0_arr] if (collect_history and done == 0) else []
     while done < total:
         call_idx += 1
         coins = (coin_rng.random(kern.T) < global_frequency).astype(np.int32)
@@ -149,9 +148,9 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         steps_run += take
         done += take
         if checkpoint_path is not None:
-            _save_fused(checkpoint_path, (theta, y, logk, grad),
-                        (g_att, g_acc, l_acc), steps_run, call_idx, seed,
-                        done)
+            save_fused_ckpt(checkpoint_path, (theta, y, logk, grad),
+                            (g_att, g_acc, l_acc), steps_run, call_idx,
+                            seed, done, take, kern.T)
 
     thetas = (np.concatenate(blocks, axis=1)
               if collect_history and blocks

@@ -18,7 +18,7 @@ from ..ops.pallas.packed_kernel import (
     packed_state_init,
     unpack_history,
 )
-from ._fused_io import _restore_fused, _save_fused
+from ._fused_io import restore_fused_ckpt, save_fused_ckpt
 from .base import MoveCounts, SamplerResult
 
 __all__ = ["run_glmcmc_fused", "run_global_mcmc_fused"]
@@ -58,9 +58,12 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
 
     ``checkpoint_path``/``resume``: scan-path semantics
     (:func:`sample_with_step`) — the full loop state (packed tiles, move
-    counters, PRNG seed, call index) is snapshotted after every kernel
-    launch; ``resume=True`` continues exactly where the run stopped and
-    the resumed result contains only the remaining transitions.
+    counters, PRNG seed, call index) is snapshotted after every aligned
+    kernel launch (ragged final segments are not checkpointed: the carry
+    would be ahead of the recorded history — a resume replays them
+    bitwise from the last aligned point instead); ``resume=True``
+    continues where the run stopped, and the resumed result contains only
+    the remaining transitions but cumulative whole-run move counts.
 
     Note: the kernel always runs ``steps_per_call`` transitions per launch;
     if ``num_ite - 1`` is not a multiple of it, the recorded history is
@@ -80,6 +83,12 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
     if kernel == "auto":
         kernel = ("packed" if pack and num_chains % (pack * block_chains) == 0
                   else "unpacked")
+
+    # restore BEFORE state init so a resume skips the per-chain initial
+    # simulations entirely
+    restored = (restore_fused_ckpt(checkpoint_path)
+                if resume and checkpoint_path is not None else None)
+
     if kernel == "packed":
         assert pack, f"packed kernel needs theta_dim | 8, got {d}"
         assert num_chains % (pack * block_chains) == 0, (
@@ -93,9 +102,13 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
             steps_per_call=steps_per_call, block_chains=block_chains,
             collect_history=collect_history, algorithm=algorithm,
         )
-        theta, y, logk = packed_state_init(problem, key, theta0, num_cols,
-                                           pack)
-        theta0_arr = unpack_history(np.asarray(theta)[None], d)
+        if restored is None:
+            theta, y, logk = packed_state_init(problem, key, theta0,
+                                               num_cols, pack)
+            theta0_arr = unpack_history(np.asarray(theta)[None], d)
+        else:
+            (theta, y, logk) = restored[0]
+            theta0_arr = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel.mesh import CHAIN_AXIS
@@ -125,9 +138,13 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
             steps_per_call=steps_per_call, block_chains=block_chains,
             collect_history=collect_history, algorithm=algorithm,
         )
-        theta, y, logk = fused_state_init(problem, key, theta0, num_chains,
-                                          kern.d_pad)
-        theta0_arr = np.asarray(theta)[:d, :].T[:, None, :]  # (C, 1, d)
+        if restored is None:
+            theta, y, logk = fused_state_init(problem, key, theta0,
+                                              num_chains, kern.d_pad)
+            theta0_arr = np.asarray(theta)[:d, :].T[:, None, :]  # (C, 1, d)
+        else:
+            (theta, y, logk) = restored[0]
+            theta0_arr = None
         run_fn = kern.run
 
         def stats_row(x):
@@ -142,27 +159,17 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                                       0, 2**31 - 1))
 
     total = num_ite - 1
-    g_att = np.zeros((num_chains,), np.float64)
-    g_acc = np.zeros((num_chains,), np.float64)
-    l_acc = np.zeros((num_chains,), np.float64)
-    steps_run = 0
-    done = 0
-    call_idx = 0
-    if resume and checkpoint_path is not None:
-        restored = _restore_fused(checkpoint_path, mesh)
-        if restored is not None:
-            snap, done = restored
-            theta, y, logk = snap["state"]
-            if mesh is not None:
-                theta, y, logk = (jax.device_put(x, sh)
-                                  for x in (theta, y, logk))
-            g_att, g_acc, l_acc = (np.asarray(x, np.float64)
-                                   for x in snap["counters"])
-            steps_run = int(snap["steps_run"])
-            call_idx = int(snap["call_idx"])
-            seed = int(snap["seed"])
-    include_init = done == 0
-    blocks = [theta0_arr] if (collect_history and include_init) else []
+    if restored is not None:
+        (_, (g_att, g_acc, l_acc), steps_run, call_idx, seed,
+         done) = restored
+    else:
+        g_att = np.zeros((num_chains,), np.float64)
+        g_acc = np.zeros((num_chains,), np.float64)
+        l_acc = np.zeros((num_chains,), np.float64)
+        steps_run = 0
+        done = 0
+        call_idx = 0
+    blocks = [theta0_arr] if (collect_history and done == 0) else []
     while done < total:
         call_idx += 1
         theta, y, logk, hist, stats = run_fn(
@@ -182,9 +189,9 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         steps_run += take
         done += take
         if checkpoint_path is not None:
-            _save_fused(checkpoint_path, (theta, y, logk),
-                        (g_att, g_acc, l_acc), steps_run, call_idx, seed,
-                        done)
+            save_fused_ckpt(checkpoint_path, (theta, y, logk),
+                            (g_att, g_acc, l_acc), steps_run, call_idx,
+                            seed, done, take, kern.T)
 
     if collect_history and blocks:
         thetas = np.concatenate(blocks, axis=1)
