@@ -24,9 +24,14 @@ __all__ = ["save_fused_ckpt", "restore_fused_ckpt"]
 
 
 def save_fused_ckpt(path, state, counters, steps_run, call_idx, seed, done,
-                    take, steps_per_call):
+                    take, steps_per_call, meta=None):
     """Snapshot the fused loop after an ALIGNED kernel launch (no-op for a
-    ragged final segment — see the module docstring)."""
+    ragged final segment — see the module docstring).
+
+    ``meta``: dict of configuration identifiers (kernel name, num_chains,
+    theta_dim, steps_per_call, ...) stored with the snapshot; a resume with
+    a different configuration would silently feed wrongly-shaped tiles to
+    the kernel, so :func:`restore_fused_ckpt` validates them."""
     if take != steps_per_call:
         return
     from ..utils.io import save_carry
@@ -38,18 +43,42 @@ def save_fused_ckpt(path, state, counters, steps_run, call_idx, seed, done,
         "call_idx": np.asarray(call_idx),
         "seed": np.asarray(seed),
     }
+    if meta:
+        snap["meta"] = {k: np.asarray(v) for k, v in sorted(meta.items())}
     save_carry(path, snap, step=done)
 
 
-def restore_fused_ckpt(path):
+def restore_fused_ckpt(path, expect_meta=None):
     """Return ``(state_tuple, (g_att, g_acc, l_acc), steps_run, call_idx,
     seed, done)`` or ``None`` if no checkpoint exists.  Counters come back
-    as float64 numpy arrays, scalars as python ints."""
-    if not os.path.exists(path):
+    as float64 numpy arrays, scalars as python ints.
+
+    ``expect_meta``: the resuming run's configuration dict; raises
+    ``ValueError`` if it disagrees with the snapshot's (shape/layout
+    mismatches would otherwise produce silently wrong chains)."""
+    from ..utils.io import carry_path, load_carry
+    if not os.path.exists(carry_path(path)):
         return None
-    from ..utils.io import load_carry
 
     snap, done = load_carry(path)
+    if expect_meta is not None:
+        saved = snap.get("meta")
+        if saved is None:
+            raise ValueError(
+                f"checkpoint {path!r} predates config metadata; cannot "
+                "verify it matches this run's configuration — delete it or "
+                "pass resume=False")
+        mismatches = {
+            k: (saved[k].item() if k in saved else "<absent>", v)
+            for k, v in expect_meta.items()
+            if k not in saved or saved[k].item() != v
+        }
+        if mismatches:
+            raise ValueError(
+                "checkpoint configuration mismatch (saved vs current): "
+                f"{mismatches} — resuming would misinterpret the saved "
+                "tiles; delete the checkpoint or restore the original "
+                "configuration")
     counters = tuple(np.asarray(x, np.float64) for x in snap["counters"])
     return (snap["state"], counters, int(snap["steps_run"]),
             int(snap["call_idx"]), int(snap["seed"]), int(done))

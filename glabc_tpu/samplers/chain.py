@@ -79,9 +79,10 @@ def sample_with_step(
     """
     start = 0
     carry = None
-    if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
-        from ..utils.io import load_carry
-        carry, start = load_carry(checkpoint_path)
+    if resume and checkpoint_path is not None:
+        from ..utils.io import carry_path, load_carry
+        if os.path.exists(carry_path(checkpoint_path)):
+            carry, start = load_carry(checkpoint_path)
     if carry is None:
         carry = init_chain_carry(problem, key, theta0, y0, num_chains)
     if mesh is not None:

@@ -71,7 +71,11 @@ def run_fused_program(problem, program: TileProgram, key, num_ite, theta0,
         algorithm=algorithm,
     )
     # restore BEFORE state init so a resume skips the initial simulations
-    restored = (restore_fused_ckpt(checkpoint_path)
+    ckpt_meta = {"kernel": "generic_program", "algorithm": algorithm,
+                 "num_chains": num_chains, "theta_dim": d,
+                 "steps_per_call": steps_per_call,
+                 "block_chains": block_chains}
+    restored = (restore_fused_ckpt(checkpoint_path, ckpt_meta)
                 if resume and checkpoint_path is not None else None)
     if restored is None:
         theta, y, logk = program_state_init(problem, key, theta0,
@@ -131,7 +135,7 @@ def run_fused_program(problem, program: TileProgram, key, num_ite, theta0,
         if checkpoint_path is not None:
             save_fused_ckpt(checkpoint_path, (theta, y, logk),
                             (g_att, g_acc, l_acc), steps_run, call_idx,
-                            seed, done, take, kern.T)
+                            seed, done, take, kern.T, meta=ckpt_meta)
 
     thetas = (np.concatenate(blocks, axis=1)
               if collect_history and blocks

@@ -84,7 +84,10 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
     )
     # restore BEFORE state init so a resume skips the initial simulations
     # and the num_grad-replicate gradient batch entirely
-    restored = (restore_fused_ckpt(checkpoint_path)
+    ckpt_meta = {"kernel": "glmala_packed", "num_chains": num_chains,
+                 "theta_dim": d, "steps_per_call": steps_per_call,
+                 "block_chains": block_chains, "num_grad": num_grad}
+    restored = (restore_fused_ckpt(checkpoint_path, ckpt_meta)
                 if resume and checkpoint_path is not None else None)
     if restored is None:
         theta, y, logk = packed_state_init(problem, key, theta0, num_cols,
@@ -150,7 +153,7 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         if checkpoint_path is not None:
             save_fused_ckpt(checkpoint_path, (theta, y, logk, grad),
                             (g_att, g_acc, l_acc), steps_run, call_idx,
-                            seed, done, take, kern.T)
+                            seed, done, take, kern.T, meta=ckpt_meta)
 
     thetas = (np.concatenate(blocks, axis=1)
               if collect_history and blocks

@@ -86,7 +86,11 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
 
     # restore BEFORE state init so a resume skips the per-chain initial
     # simulations entirely
-    restored = (restore_fused_ckpt(checkpoint_path)
+    ckpt_meta = {"kernel": kernel, "algorithm": algorithm,
+                 "num_chains": num_chains, "theta_dim": d,
+                 "steps_per_call": steps_per_call,
+                 "block_chains": block_chains}
+    restored = (restore_fused_ckpt(checkpoint_path, ckpt_meta)
                 if resume and checkpoint_path is not None else None)
 
     if kernel == "packed":
@@ -191,7 +195,7 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         if checkpoint_path is not None:
             save_fused_ckpt(checkpoint_path, (theta, y, logk),
                             (g_att, g_acc, l_acc), steps_run, call_idx,
-                            seed, done, take, kern.T)
+                            seed, done, take, kern.T, meta=ckpt_meta)
 
     if collect_history and blocks:
         thetas = np.concatenate(blocks, axis=1)

@@ -46,7 +46,11 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True
             ),
         )
-        self._treedef_path = os.path.join(self.directory, "treedef.pkl")
+        self._legacy_treedef_path = os.path.join(self.directory,
+                                                 "treedef.pkl")
+
+    def _treedef_path(self, step: int) -> str:
+        return os.path.join(self.directory, f"treedef_{int(step)}.pkl")
 
     # ------------------------------------------------------------------ save
     def save(self, step: int, carry: Any, wait: bool = False) -> None:
@@ -54,14 +58,28 @@ class CheckpointManager:
 
         Asynchronous by default: the leaves are snapshotted and the write
         happens on orbax's background thread; pass ``wait=True`` (or call
-        :meth:`wait`/:meth:`close`) to block until durable."""
+        :meth:`wait`/:meth:`close`) to block until durable.
+
+        The treedef is saved PER STEP (tiny pickle next to the orbax step
+        dir), so reusing a checkpoint directory with a different carry
+        structure — or restoring an old step after the structure changed —
+        unflattens with the treedef that matches that step, never a stale
+        one."""
         leaves, treedef = jax.tree_util.tree_flatten(carry)
-        if not os.path.exists(self._treedef_path):
-            with open(self._treedef_path, "wb") as f:
-                pickle.dump(treedef, f)
+        td_tmp = self._treedef_path(step) + ".tmp"
+        with open(td_tmp, "wb") as f:
+            pickle.dump(treedef, f)
+        os.replace(td_tmp, self._treedef_path(step))
         payload = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
         self._mgr.save(int(step),
                        args=self._ocp.args.StandardSave(payload))
+        # prune treedefs whose step was garbage-collected by orbax
+        kept = set(self._mgr.all_steps()) | {int(step)}
+        for name in os.listdir(self.directory):
+            if name.startswith("treedef_") and name.endswith(".pkl"):
+                s = name[len("treedef_"):-len(".pkl")]
+                if s.isdigit() and int(s) not in kept:
+                    os.remove(os.path.join(self.directory, name))
         if wait:
             self._mgr.wait_until_finished()
 
@@ -74,7 +92,11 @@ class CheckpointManager:
             raise FileNotFoundError(
                 f"no checkpoints under {self.directory}")
         payload = self._mgr.restore(int(step))
-        with open(self._treedef_path, "rb") as f:
+        td_path = self._treedef_path(step)
+        if not os.path.exists(td_path):
+            # checkpoints written before per-step treedefs
+            td_path = self._legacy_treedef_path
+        with open(td_path, "rb") as f:
             treedef = pickle.load(f)
         n = len(payload)
         leaves = [jax.numpy.asarray(payload[f"leaf_{i}"]) for i in range(n)]

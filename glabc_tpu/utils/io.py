@@ -24,7 +24,8 @@ from typing import Any
 import jax
 import numpy as np
 
-__all__ = ["ChainWriter", "read_binary_chains", "save_carry", "load_carry"]
+__all__ = ["ChainWriter", "read_binary_chains", "save_carry", "load_carry",
+           "carry_path"]
 
 
 class _NativeMultiChainSink:
@@ -51,15 +52,25 @@ class _NativeMultiChainSink:
         assert C == self.num_chains and d == self.dim
         self._w.write(np.ascontiguousarray(block, np.float32).reshape(-1, d))
         self._segments.append(int(S))
+        # Rewrite the (tiny) sidecar after every block so a crash mid-run
+        # leaves the already-flushed history readable; the binary payload may
+        # trail the sidecar by at most the async writer's in-flight block,
+        # which read_binary_chains tolerates (it truncates to whole segments).
+        self._write_sidecar()
+
+    def _write_sidecar(self) -> None:
+        meta = {"num_chains": self.num_chains, "dim": self.dim,
+                "dtype": "float32", "segments": self._segments}
+        tmp = self.path + ".meta.json.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.path + ".meta.json")
 
     def close(self) -> None:
         if self._w is not None:
             self._w.close()
             self._w = None
-            with open(self.path + ".meta.json", "w", encoding="utf-8") as f:
-                json.dump({"num_chains": self.num_chains, "dim": self.dim,
-                           "dtype": "float32",
-                           "segments": self._segments}, f)
+            self._write_sidecar()
 
 
 def read_binary_chains(path: str) -> np.ndarray:
@@ -73,9 +84,14 @@ def read_binary_chains(path: str) -> np.ndarray:
     off = 0
     for S in meta["segments"]:
         n = C * S * d
+        if off + n > raw.size:
+            # Crash-tolerant read: the sidecar is persisted per block while
+            # the async writer may still hold the final payload in flight —
+            # return the whole segments that actually reached disk.
+            break
         blocks.append(raw[off:off + n].reshape(C, S, d))
         off += n
-    assert off == raw.size, "binary chain file truncated vs sidecar"
+    assert blocks, "binary chain file holds no complete segment"
     return np.concatenate(blocks, axis=1)
 
 
@@ -163,19 +179,39 @@ class ChainWriter:
             self._native = None
 
 
+def carry_path(path: str) -> str:
+    """Canonical on-disk name for a carry checkpoint (always ``.npz``).
+
+    ``np.savez`` appends ``.npz`` when absent; normalizing once here keeps
+    save/restore/exists probes agreeing on one name regardless of how the
+    caller spelled the path."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_carry(path: str, carry: Any, step: int = 0) -> None:
-    """Checkpoint a scan carry (any pytree) plus the step counter."""
+    """Checkpoint a scan carry (any pytree) plus the step counter.
+
+    The snapshot is written atomically (temp file + ``os.replace``) so a
+    crash mid-write never destroys the previous checkpoint."""
+    path = carry_path(path)
     leaves, treedef = jax.tree_util.tree_flatten(carry)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     arrays["__step__"] = np.asarray(step)
-    np.savez(path, treedef=np.frombuffer(pickle.dumps(treedef), dtype=np.uint8),
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, treedef=np.frombuffer(pickle.dumps(treedef), dtype=np.uint8),
              **arrays)
+    os.replace(tmp, path)
 
 
 def load_carry(path: str):
     """Restore ``(carry, step)`` saved by :func:`save_carry`."""
-    data = np.load(path, allow_pickle=False)
+    data = np.load(carry_path(path), allow_pickle=False)
     treedef = pickle.loads(data["treedef"].tobytes())
     n = len([k for k in data.files if k.startswith("leaf_")])
-    leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    # non-numeric leaves (e.g. config-name strings in checkpoint metadata)
+    # stay numpy; numeric leaves come back as jax arrays
+    leaves = [
+        jax.numpy.asarray(leaf) if leaf.dtype.kind in "biufc" else leaf
+        for leaf in (data[f"leaf_{i}"] for i in range(n))
+    ]
     return jax.tree_util.tree_unflatten(treedef, leaves), int(data["__step__"])

@@ -43,3 +43,18 @@ def test_restore_empty_raises(tmp_path):
     with CheckpointManager(str(tmp_path / "ck")) as mgr:
         with pytest.raises(FileNotFoundError):
             mgr.restore()
+
+
+def test_treedef_tracks_structure_changes(tmp_path):
+    """Per-step treedefs: restoring an old step after the carry structure
+    changed (directory reuse) must unflatten with the matching treedef
+    (ADVICE r1: stale treedef.pkl gave silent structure mismatch)."""
+    carry_a = {"theta": jnp.zeros((2, 3)), "step": jnp.int32(0)}
+    carry_b = (jnp.ones(4), {"nested": jnp.arange(2)})
+    with CheckpointManager(str(tmp_path / "ck"), max_to_keep=5) as mgr:
+        mgr.save(1, carry_a, wait=True)
+        mgr.save(2, carry_b, wait=True)
+        ra, _ = mgr.restore(1)
+        rb, _ = mgr.restore(2)
+    assert isinstance(ra, dict) and set(ra) == {"theta", "step"}
+    assert isinstance(rb, tuple) and isinstance(rb[1], dict)

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from glabc_tpu import (
     ChainWriter,
@@ -164,3 +165,64 @@ class TestCheckpointResume:
             np.asarray(full.counts.global_attempts),
             np.asarray(rest.counts.global_attempts),
         )
+
+
+def test_save_carry_path_suffix_agreement(tmp_path):
+    """save_carry/load_carry/resume probes agree on one on-disk name whether
+    or not the caller spelled '.npz' (ADVICE r1: resume=True silently reran
+    from step 0 when the probe checked the unsuffixed path)."""
+    from glabc_tpu.utils.io import carry_path, load_carry, save_carry
+
+    bare = str(tmp_path / "ck")
+    save_carry(bare, {"x": np.arange(3)}, step=5)
+    assert os.path.exists(carry_path(bare))
+    carry, step = load_carry(bare)                 # unsuffixed load works
+    assert step == 5
+    carry2, step2 = load_carry(bare + ".npz")      # suffixed load too
+    np.testing.assert_array_equal(np.asarray(carry["x"]),
+                                  np.asarray(carry2["x"]))
+    # no stray temp file left behind (atomic replace)
+    assert not [p for p in os.listdir(tmp_path) if ".tmp" in p]
+
+
+def test_fused_ckpt_config_mismatch_raises(tmp_path):
+    """Resuming a fused checkpoint under a different kernel/shape config must
+    raise, not feed wrongly-shaped tiles (ADVICE r1)."""
+    import pytest
+
+    from glabc_tpu.samplers._fused_io import (restore_fused_ckpt,
+                                              save_fused_ckpt)
+
+    path = str(tmp_path / "fused_ck")
+    meta = {"kernel": "packed", "num_chains": 64, "theta_dim": 2,
+            "steps_per_call": 8, "block_chains": 32}
+    state = (np.zeros((8, 16)), np.zeros((8, 16)), np.zeros((8, 16)))
+    counters = (np.zeros(64), np.zeros(64), np.zeros(64))
+    save_fused_ckpt(path, state, counters, 8, 1, 123, 8, take=8,
+                    steps_per_call=8, meta=meta)
+    ok = restore_fused_ckpt(path, meta)
+    assert ok is not None and ok[5] == 8
+    bad = dict(meta, kernel="unpacked", num_chains=128)
+    with pytest.raises(ValueError, match="mismatch"):
+        restore_fused_ckpt(path, bad)
+
+
+def test_binary_sidecar_readable_midrun(tmp_path):
+    """The .meta.json sidecar is rewritten per block so a crash before
+    close() leaves flushed history readable (ADVICE r1)."""
+    pytest.importorskip("glabc_tpu.native")
+    from glabc_tpu.native import native_available
+    if not native_available():
+        pytest.skip("native writer unavailable")
+    from glabc_tpu.utils.io import ChainWriter, read_binary_chains
+
+    path = str(tmp_path / "chains.bin")
+    w = ChainWriter(path, chains="all", use_native=True)
+    w.write_initial(np.zeros((4, 2), np.float32))
+    w.on_segment(np.ones((4, 3, 2), np.float32), 1)
+    # simulate a crash: flush the native writer but skip the sink's close()
+    w._native._w.close()
+    hist = read_binary_chains(path)   # sidecar written per-block
+    assert hist.shape == (4, 4, 2)
+    w._native._w = None
+    w.close = lambda: None
