@@ -21,7 +21,7 @@ from .models import (
     Uniform,
 )
 from .models.flows import CouplingFlow
-from .ops import chain_summary, esjd, esjd_per_second
+from .ops import chain_summary, esjd, esjd_per_second, rhat
 from .runner import MCMCRunner
 from .samplers.aglmcmc import run_aglmcmc
 from .samplers.glmala import run_glmala
@@ -56,5 +56,6 @@ __all__ = [
     "chain_summary",
     "esjd",
     "esjd_per_second",
+    "rhat",
     "__version__",
 ]

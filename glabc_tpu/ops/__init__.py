@@ -4,7 +4,7 @@ from .resampling import (
     sanitize_log_weights,
     systematic_resample,
 )
-from .stats import ChainSummary, chain_summary, esjd, esjd_per_second, ess, weighted_std
+from .stats import ChainSummary, chain_summary, esjd, esjd_per_second, ess, rhat, weighted_std
 
 __all__ = [
     "categorical_from_log_weights",
@@ -16,5 +16,6 @@ __all__ = [
     "esjd",
     "esjd_per_second",
     "ess",
+    "rhat",
     "weighted_std",
 ]

@@ -320,18 +320,29 @@ class FusedMixtureGLMCMC:
                 (hist if self.collect_history else None), stats)
 
 
-def fused_state_init(problem, key, theta0, num_chains: int, d_pad: int = _SUB):
+def fused_state_init(problem, key, theta0, num_chains: int, d_pad: int = _SUB,
+                     y0=None):
     """Build the ``(d_pad, C)`` padded initial state for the fused kernel
-    from a problem + theta0, matching the scan-path initialization."""
+    from a problem + theta0, matching the scan-path initialization.
+
+    ``y0``: optional initial dataset (reference ``MCMCRunner.py:17``
+    ``initial_y``): ``(d,)``/``(1, d)`` broadcasts to all chains, ``(C, d)``
+    per chain; ``None`` simulates per chain from theta0."""
     d = problem.theta_dim
     theta0 = jnp.asarray(theta0, jnp.float32).reshape(-1)
     k_sim = jax.random.fold_in(key, 1)
     theta = jnp.zeros((d_pad, num_chains), jnp.float32)
     theta = theta.at[:d, :].set(theta0[:, None])
-    y0 = jax.vmap(problem.simulate)(
-        jax.random.split(k_sim, num_chains),
-        jnp.broadcast_to(theta0, (num_chains, d)),
-    )  # (C, d)
+    if y0 is None:
+        y0 = jax.vmap(problem.simulate)(
+            jax.random.split(k_sim, num_chains),
+            jnp.broadcast_to(theta0, (num_chains, d)),
+        )  # (C, d)
+    else:
+        y0 = jnp.asarray(y0, jnp.float32).reshape(-1, problem.y_dim)
+        if y0.shape[0] == 1:
+            y0 = jnp.broadcast_to(y0, (num_chains, problem.y_dim))
+        assert y0.shape[0] == num_chains
     y = jnp.zeros((d_pad, num_chains), jnp.float32)
     y = y.at[:d, :].set(y0.T)
     logk = problem.kernel_log_prob(problem.discrepancy(y0))[None, :]

@@ -303,15 +303,27 @@ class PackedMixtureGLMCMC:
                                        mesh)
 
 
-def packed_state_init(problem, key, theta0, num_cols: int, pack: int):
-    """Build packed ``(8, num_cols)`` state for ``pack * num_cols`` chains."""
+def packed_state_init(problem, key, theta0, num_cols: int, pack: int,
+                      y0=None):
+    """Build packed ``(8, num_cols)`` state for ``pack * num_cols`` chains.
+
+    ``y0``: optional initial dataset (reference ``MCMCRunner.py:17``
+    ``initial_y``): ``(d,)``/``(1, d)`` broadcasts to all chains, ``(C, d)``
+    gives each chain its own; ``None`` simulates per chain from theta0
+    (scan-path ``init_chain_carry`` semantics)."""
     d = problem.theta_dim
     assert pack * d == _SUB
     C_total = pack * num_cols
     theta0 = jnp.asarray(theta0, jnp.float32).reshape(-1)
-    keys = jax.random.split(jax.random.fold_in(key, 1), C_total)
     th_all = jnp.broadcast_to(theta0, (C_total, d))
-    y_all = jax.vmap(problem.simulate)(keys, th_all)          # (pack*C, d)
+    if y0 is None:
+        keys = jax.random.split(jax.random.fold_in(key, 1), C_total)
+        y_all = jax.vmap(problem.simulate)(keys, th_all)      # (pack*C, d)
+    else:
+        y_all = jnp.asarray(y0, jnp.float32).reshape(-1, problem.y_dim)
+        if y_all.shape[0] == 1:
+            y_all = jnp.broadcast_to(y_all, (C_total, problem.y_dim))
+        assert y_all.shape[0] == C_total
     logk_all = problem.kernel_log_prob(problem.discrepancy(y_all))
 
     def to_packed(x_cd):  # (pack*C, d) -> (8, C)

@@ -16,8 +16,8 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-__all__ = ["esjd", "esjd_per_second", "ess", "weighted_std", "chain_summary",
-           "ChainSummary"]
+__all__ = ["esjd", "esjd_per_second", "ess", "rhat", "weighted_std",
+           "chain_summary", "ChainSummary"]
 
 
 def esjd(chain: jnp.ndarray) -> jnp.ndarray:
@@ -68,6 +68,54 @@ def ess(chain: jnp.ndarray) -> jnp.ndarray:
     return n / tau
 
 
+def rhat(chains) -> jnp.ndarray:
+    """Rank-normalized split-:math:`\\hat R` per dimension (Vehtari, Gelman,
+    Simpson, Carpenter & Bürkner 2021).
+
+    The multi-chain convergence diagnostic this framework's 10^3-10^6
+    parallel chains make natural; the reference (single chain) has no
+    counterpart — this extends its ``ESJD.py:2-25``-class diagnostics to the
+    multi-chain regime.  ``chains``: ``(C, N, d)`` with ``C >= 2``.  Returns
+    ``(d,)`` — the max of the bulk (rank-normalized) and tail (folded)
+    statistics; values near 1 (< 1.01) indicate mixing.
+
+    Host-side numpy/scipy like :func:`chain_summary` (end-of-run reporting,
+    not a jit-path op); ties get average ranks — important because rejected
+    MH proposals repeat values exactly.
+    """
+    import numpy as _np
+    from scipy.stats import norm as _norm
+    from scipy.stats import rankdata as _rankdata
+
+    x = _np.asarray(chains, _np.float64)
+    assert x.ndim == 3 and x.shape[0] >= 2, "rhat needs (C>=2, N, d) chains"
+    C, N, d = x.shape
+    half = N // 2
+    assert half >= 2, "rhat needs at least 4 draws per chain"
+    split = x[:, : 2 * half, :].reshape(C * 2, half, d)
+    m, n = C * 2, half
+
+    def _split_rhat(z):
+        cm = z.mean(axis=1)                       # (m, d)
+        B = n * cm.var(axis=0, ddof=1)            # between-chain
+        W = z.var(axis=1, ddof=1).mean(axis=0)    # within-chain
+        W = _np.where(W == 0.0, _np.finfo(_np.float64).tiny, W)
+        return _np.sqrt(((n - 1) / n * W + B / n) / W)
+
+    def _rank_normal(v):                          # (m, n, d) -> z-scores
+        flat = v.reshape(m * n, d)
+        r = _np.stack([_rankdata(flat[:, j], method="average")
+                       for j in range(d)], axis=1)
+        z = _norm.ppf((r - 0.375) / (m * n + 0.25))
+        return z.reshape(m, n, d)
+
+    bulk = _split_rhat(_rank_normal(split))
+    folded = _split_rhat(_rank_normal(
+        _np.abs(split - _np.median(split.reshape(m * n, d), axis=0))
+    ))
+    return jnp.asarray(_np.maximum(bulk, folded), jnp.float32)
+
+
 def weighted_std(x: jnp.ndarray, weights: jnp.ndarray, unbiased: bool = True,
                  axis: int = 0) -> jnp.ndarray:
     """Weighted standard deviation with reliability-weight bias correction.
@@ -95,7 +143,8 @@ class ChainSummary:
     ci_upper: jnp.ndarray   # (d,)
     esjd: Optional[jnp.ndarray] = None
     acceptance_rate: Optional[float] = None
-    ess: Optional[jnp.ndarray] = None  # (d,) mean ESS per dimension
+    ess: Optional[jnp.ndarray] = None   # (d,) mean ESS per dimension
+    rhat: Optional[jnp.ndarray] = None  # (d,) rank-normalized split-R-hat
 
     def render(self) -> str:
         lines = []
@@ -111,6 +160,8 @@ class ChainSummary:
                 lines.append(
                     f"  Effective Sample Size: {float(self.ess[i]):.2f}"
                 )
+            if self.rhat is not None:
+                lines.append(f"  R-hat: {float(self.rhat[i]):.4f}")
         if self.esjd is not None:
             lines.append(f"ESJD: {float(self.esjd):.6g}")
         if self.acceptance_rate is not None:
@@ -120,12 +171,15 @@ class ChainSummary:
 
 def chain_summary(chain: jnp.ndarray, acceptance_rate=None,
                   with_esjd: bool = False,
-                  with_ess: bool = False) -> ChainSummary:
+                  with_ess: bool = False,
+                  with_rhat: bool = False) -> ChainSummary:
     """Per-dimension mean / variance / z=1.96 95% CI, pooled over all leading
     axes (chains x time).  Variance uses the unbiased estimator to match
     ``torch.var`` in the reference report (``GLMCMC.py:113-127``).
     ``with_ess`` adds the per-dimension ESS line the reference leaves
-    commented out (``GLMCMC.py:136``), summed over chains."""
+    commented out (``GLMCMC.py:136``), summed over chains.  ``with_rhat``
+    adds rank-normalized split-:math:`\\hat R` (needs ``(C>=2, N, d)``
+    chains; silently omitted otherwise)."""
     # accumulate on host in float64: naive float32 reductions over >1e7
     # samples visibly bias the mean (observed ~0.1 absolute error at 16M)
     import numpy as _np
@@ -142,6 +196,11 @@ def chain_summary(chain: jnp.ndarray, acceptance_rate=None,
         if arr.ndim == 2:
             arr = arr[None]
         e = jnp.sum(ess(arr), axis=0)  # total ESS across chains, per dim
+    r = None
+    if with_rhat:
+        arr = _np.asarray(chain)
+        if arr.ndim == 3 and arr.shape[0] >= 2 and arr.shape[1] >= 4:
+            r = rhat(arr)
     return ChainSummary(
         mean=mean,
         variance=var,
@@ -150,4 +209,5 @@ def chain_summary(chain: jnp.ndarray, acceptance_rate=None,
         esjd=ej,
         acceptance_rate=acceptance_rate,
         ess=e,
+        rhat=r,
     )

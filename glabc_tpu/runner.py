@@ -93,7 +93,8 @@ class MCMCRunner:
         if self.verbose:
             rates = result.acceptance_rates()
             summary = chain_summary(
-                result.thetas, acceptance_rate=float(rates["overall"].mean())
+                result.thetas, acceptance_rate=float(rates["overall"].mean()),
+                with_rhat=result.thetas.shape[0] >= 2,
             )
             print(f"[{sampler_name}] {result.thetas.shape[0]} chain(s) x "
                   f"{result.thetas.shape[1]} iterations")
@@ -127,8 +128,7 @@ class MCMCRunner:
         ``method='fused'`` routes through the fused Pallas kernels with the
         independence-MH global move (Mixture-family problems, isotropic
         Gaussian proposals — same constraints as ``run_glmcmc``'s fused
-        path).  The fused path re-simulates the initial ``y`` from
-        ``initial_theta`` (``initial_y`` is not used)."""
+        path)."""
         writer, on_segment = self._writer(output_file, initial_theta)
         if method == "fused":
             from .samplers.glmcmc_fused import run_global_mcmc_fused
@@ -137,7 +137,8 @@ class MCMCRunner:
             _, lp_scale = self._isotropic(local_proposal, "local proposal")
             res = run_global_mcmc_fused(
                 self.abc_set, self._next_key(key), num_iterations,
-                initial_theta, gp_loc=gp_loc, gp_scale=gp_scale,
+                initial_theta, y0=initial_y, gp_loc=gp_loc,
+                gp_scale=gp_scale,
                 lp_scale=lp_scale, global_frequency=global_frequency,
                 num_chains=self.num_chains, on_segment=on_segment, **kwargs,
             )
@@ -161,9 +162,7 @@ class MCMCRunner:
         (Mixture-family problems, isotropic Gaussian proposals,
         ``num_chains`` a multiple of 512; ~10^8-10^9 transitions/s/chip on
         TPU).  ``'scan'`` (default) is the XLA-fused path for arbitrary
-        problems, bitwise-reproducible from the key.  The fused path
-        re-simulates the initial ``y`` from ``initial_theta``
-        (``initial_y`` is not used)."""
+        problems, bitwise-reproducible from the key."""
         writer, on_segment = self._writer(output_file, initial_theta)
         if method == "fused":
             from .samplers.glmcmc_fused import run_glmcmc_fused
@@ -172,7 +171,7 @@ class MCMCRunner:
             _, lp_scale = self._isotropic(local_proposal, "local proposal")
             res = run_glmcmc_fused(
                 self.abc_set, self._next_key(key), num_iterations,
-                initial_theta, ip_loc=ip_loc, ip_scale=ip_scale,
+                initial_theta, y0=initial_y, ip_loc=ip_loc, ip_scale=ip_scale,
                 lp_scale=lp_scale, global_frequency=global_frequency,
                 batch_size=batch_size, num_chains=self.num_chains,
                 on_segment=on_segment, **kwargs,
@@ -211,9 +210,7 @@ class MCMCRunner:
         ``method='fused'`` routes through the packed Pallas GLMALA kernel
         (Mixture-family problems, theta_dim | 8, isotropic importance
         proposal, ``num_chains`` a multiple of ``(8/d) * 512``; the CRN
-        gradient batch runs in VMEM — ~10^8 transitions/s/chip).  The
-        fused path re-simulates the initial ``y`` from ``initial_theta``
-        (``initial_y`` is not used)."""
+        gradient batch runs in VMEM — ~10^8 transitions/s/chip)."""
         writer, on_segment = self._writer(output_file, initial_theta)
         if method == "fused":
             from .samplers.glmala_fused import run_glmala_fused
@@ -221,7 +218,7 @@ class MCMCRunner:
                                                "importance proposal")
             res = run_glmala_fused(
                 self.abc_set, self._next_key(key), num_iterations,
-                initial_theta, ip_loc=ip_loc, ip_scale=ip_scale,
+                initial_theta, y0=initial_y, ip_loc=ip_loc, ip_scale=ip_scale,
                 global_frequency=global_frequency, batch_size=batch_size,
                 tau=tau, num_grad=num_grad, num_chains=self.num_chains,
                 on_segment=on_segment, **kwargs,

@@ -25,17 +25,27 @@ _SUB = 8
 
 
 def program_state_init(problem, key, theta0, num_chains: int, d_pad: int,
-                       y_rows: int):
+                       y_rows: int, y0=None):
     """Initial ``(d_pad, C)`` theta/y tiles + ``(1, C)`` log-kernel, from
-    the host-side problem (one simulation per chain, like the scan path)."""
+    the host-side problem (one simulation per chain, like the scan path).
+
+    ``y0``: optional initial dataset (reference ``initial_y``), broadcast
+    or per-chain; ``None`` simulates per chain from theta0."""
     d = problem.theta_dim
     theta0 = jnp.asarray(theta0, jnp.float32).reshape(-1)
     theta = jnp.zeros((d_pad, num_chains), jnp.float32)
     theta = theta.at[:d, :].set(theta0[:, None])
-    y0 = jax.vmap(problem.simulate)(
-        jax.random.split(jax.random.fold_in(key, 1), num_chains),
-        jnp.broadcast_to(theta0, (num_chains, d)),
-    )  # (C, y_rows)
+    if y0 is None:
+        y0 = jax.vmap(problem.simulate)(
+            jax.random.split(jax.random.fold_in(key, 1), num_chains),
+            jnp.broadcast_to(theta0, (num_chains, d)),
+        )  # (C, y_rows)
+    else:
+        y0 = jnp.asarray(y0, jnp.float32).reshape(-1, y_rows)
+        if y0.shape[0] == 1:
+            y0 = jnp.broadcast_to(y0, (num_chains, y_rows))
+        assert y0.shape[0] == num_chains
+    y0 = jnp.asarray(y0, jnp.float32)
     y = jnp.zeros((d_pad, num_chains), jnp.float32)
     y = y.at[:y_rows, :].set(y0.T)
     logk = problem.kernel_log_prob(problem.discrepancy(y0))[None, :]
@@ -43,7 +53,7 @@ def program_state_init(problem, key, theta0, num_chains: int, d_pad: int,
 
 
 def run_fused_program(problem, program: TileProgram, key, num_ite, theta0,
-                      *, global_frequency=0.9, batch_size=5,
+                      *, y0=None, global_frequency=0.9, batch_size=5,
                       num_chains: int = 1024, steps_per_call: int = 256,
                       block_chains: int = 512, collect_history: bool = True,
                       on_segment=None, seed: int | None = None,
@@ -80,7 +90,7 @@ def run_fused_program(problem, program: TileProgram, key, num_ite, theta0,
     if restored is None:
         theta, y, logk = program_state_init(problem, key, theta0,
                                             num_chains, kern.d_pad,
-                                            program.y_rows)
+                                            program.y_rows, y0=y0)
         theta0_arr = np.asarray(theta)[:d, :].T[:, None, :]  # (C, 1, d)
     else:
         (theta, y, logk) = restored[0]

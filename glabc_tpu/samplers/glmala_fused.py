@@ -31,7 +31,7 @@ def _unpack_stats(x, pack: int, d: int):
     return np.asarray(x).reshape(pack, d, C)[:, 0, :].reshape(pack * C)
 
 
-def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
+def run_glmala_fused(problem, key, num_ite, theta0, *, y0=None, ip_loc=0.0,
                      ip_scale=1.0, prior_loc=0.0, prior_scale=1.0,
                      global_frequency=0.8, batch_size=5, tau=0.3,
                      num_grad=100, fd_step=0.1, num_chains: int = 2048,
@@ -91,7 +91,7 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
                 if resume and checkpoint_path is not None else None)
     if restored is None:
         theta, y, logk = packed_state_init(problem, key, theta0, num_cols,
-                                           pack)
+                                           pack, y0=y0)
         grad = packed_grad_init(problem, key, theta0, num_cols, pack,
                                 num_grad, fd_step)
         theta0_arr = unpack_history(np.asarray(theta)[None], d)  # (C, 1, d)

@@ -26,7 +26,7 @@ __all__ = ["run_glmcmc_fused", "run_global_mcmc_fused"]
 _SUB = 8
 
 
-def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
+def run_glmcmc_fused(problem, key, num_ite, theta0, *, y0=None, ip_loc=0.0,
                      ip_scale=1.0, lp_scale=0.35, prior_loc=0.0,
                      prior_scale=1.0, global_frequency=0.9, batch_size=5,
                      num_chains: int = 1024, steps_per_call: int = 256,
@@ -108,7 +108,7 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         )
         if restored is None:
             theta, y, logk = packed_state_init(problem, key, theta0,
-                                               num_cols, pack)
+                                               num_cols, pack, y0=y0)
             theta0_arr = unpack_history(np.asarray(theta)[None], d)
         else:
             (theta, y, logk) = restored[0]
@@ -144,7 +144,7 @@ def run_glmcmc_fused(problem, key, num_ite, theta0, *, ip_loc=0.0,
         )
         if restored is None:
             theta, y, logk = fused_state_init(problem, key, theta0,
-                                              num_chains, kern.d_pad)
+                                              num_chains, kern.d_pad, y0=y0)
             theta0_arr = np.asarray(theta)[:d, :].T[:, None, :]  # (C, 1, d)
         else:
             (theta, y, logk) = restored[0]
