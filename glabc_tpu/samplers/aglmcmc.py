@@ -18,11 +18,23 @@ Capability parity with reference ``glabcmcmc/AGLMCMC.py:44-289``:
 
 TPU-first redesign:
 
-* one pool per chain, shape ``(C, step_size * batch_size, ...)``, carried
-  across fixed-length scan segments; the pool cursor ``kk`` advances on
-  global moves and wraps modulo ``step_size`` (with the canonical
-  ``global_frequency = 1`` a segment of ``step_size`` steps consumes each
-  pool exactly once, reproducing the reference epoch boundary exactly);
+* one pool per chain, carried across fixed-length scan segments of
+  ``round(step_size / gf)`` steps; the pool cursor ``kk`` advances on global
+  moves and resets at each epoch.  With the canonical
+  ``global_frequency = 1`` a segment consumes exactly ``step_size`` slices,
+  reproducing the reference epoch boundary exactly (``AGLMCMC.py:170``).
+  For ``gf < 1`` the consumed-slice count per segment is
+  ``Binomial(seg_len, gf)`` while the reference adapts after exactly
+  ``step_size`` consumed slices (data-dependent).  Because the adaptation
+  inputs are the *pool contents* — independent of the chain state — the only
+  kernel-level distortion a fixed segment could introduce is slice REUSE;
+  pools therefore carry ``pool_slack`` extra slices (default ~5 sigma of the
+  binomial overshoot, so reuse probability is ~1e-9 per chain-epoch; the
+  astronomically-rare overflow clamps to the last slice) and every global
+  move consumes a FRESH slice.  What remains vs the reference is only
+  epoch-timing jitter (a pool refresh a few iterations early/late), which
+  ``tests/test_aglmcmc_cadence.py`` bounds statistically against an
+  exact-consumption oracle at gf=0.5;
 * the reference's dynamic "keep first N valid KDE samples" gather
   (``AGLMCMC.py:220-229``) becomes a stable argsort on the invalid mask —
   fixed shapes, valid rows first;
@@ -67,6 +79,24 @@ class AGLMCMCConfig:
     hat_eps_T: float = 0.2
     oversample: int = 4           # reference 4x (AGLMCMC.py:220)
     support_retries: int = 0
+    pool_slack: int = 0           # extra pool slices beyond step_size
+
+    @property
+    def pool_slices(self) -> int:
+        return self.step_size + self.pool_slack
+
+
+def default_pool_slack(step_size: int, global_frequency: float) -> int:
+    """Slack slices so a fixed ``round(step_size/gf)``-step segment overshoots
+    the pool with probability ~1e-9 per chain-epoch (5 sigma of the
+    ``Binomial(seg_len, gf)`` consumed-slice count, plus a floor).  0 at the
+    canonical gf=1, where consumption is deterministic."""
+    gf = float(global_frequency)
+    if gf >= 1.0 or gf <= 0.0:
+        return 0
+    seg_len = max(1, int(round(step_size / gf)))
+    sigma = float(np.sqrt(seg_len * gf * (1.0 - gf)))
+    return int(np.ceil(5.0 * sigma)) + 8
 
 
 class Pool(NamedTuple):
@@ -201,7 +231,10 @@ def _build_step(problem, local_proposal, initial_proposal, cfg: AGLMCMCConfig,
         is_global = jax.random.uniform(k_coin, ()) < gf
 
         def do_global(k):
-            start = (carry.kk % cfg.step_size) * B
+            # fresh slice per global move; kk resets each epoch.  The clamp
+            # only ever fires on the ~5-sigma binomial overshoot of a
+            # fixed-length segment (see module docstring / pool_slack).
+            start = jnp.minimum(carry.kk, cfg.pool_slices - 1) * B
             th_slice = jax.lax.dynamic_slice_in_dim(pool.theta, start, B)
             x_slice = jax.lax.dynamic_slice_in_dim(pool.x, start, B)
             dis_slice = jax.lax.dynamic_slice_in_dim(pool.dis, start, B)
@@ -253,7 +286,8 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                 num_chains: int = 1, on_segment=None, oversample: int = 4,
                 support_retries: int = 0, epoch_chunk: int = 0,
                 shared_adaptation: bool = False,
-                shared_support: int = 4096, mesh=None) -> AGLResult:
+                shared_support: int = 4096, mesh=None,
+                pool_slack: Optional[int] = None) -> AGLResult:
     """``epoch_chunk > 0`` runs the per-chain adaptation epochs (KDE fit +
     oversampled redraw) in sequential chunks of that many chains via
     ``lax.map`` — bounds memory for 10^4+ chain runs.
@@ -271,10 +305,16 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
     ``shard_map`` — global epsilon quantile, distributed systematic
     resampling of the shared KDE support, replicated KDE fit
     (:func:`glabc_tpu.parallel.make_sharded_shared_epoch`).  Incompatible
-    with ``epoch_chunk``."""
+    with ``epoch_chunk``.
+
+    ``pool_slack``: extra pool slices beyond ``step_size`` so gf<1 segments
+    never reuse a slice (module docstring); default auto-sizes to ~5 sigma
+    of the binomial consumption overshoot (0 at gf=1)."""
+    if pool_slack is None:
+        pool_slack = default_pool_slack(step_size, global_frequency)
     cfg = AGLMCMCConfig(global_frequency, batch_size, step_size, alpha,
-                        hat_eps_T, oversample, support_retries)
-    P = batch_size * step_size
+                        hat_eps_T, oversample, support_retries, pool_slack)
+    P = batch_size * cfg.pool_slices
     C = num_chains
     key = jnp.asarray(key)
     k_chain, k_pool, k_loop = jax.random.split(key, 3)
@@ -394,6 +434,9 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                 )
             hat_eps_hist.append(np.asarray(hat_eps))
             n_epochs += 1
+            # fresh pool -> cursor back to slice 0 (reference AGLMCMC.py:249
+            # resets kk after the refit; elementwise to keep any sharding)
+            carry = carry._replace(kk=carry.kk * 0)
 
     thetas = np.concatenate([theta_init] + blocks, axis=1)
     return AGLResult(
