@@ -1,0 +1,85 @@
+"""Fused AGLMCMC throughput benchmark (TPU).
+
+End-to-end transitions/s including the adaptation epochs (epsilon
+annealing + weighted-KDE refit + oversampled pool redraw on the XLA path)
+— the honest number for the adaptive sampler, vs the reference's
+single-chain Python loop (~2k it/s, BASELINE.md) and the repo's scan path.
+
+Usage: nohup setsid python -u benchmarks/aglmcmc_bench.py > /tmp/agl.txt &
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glabc_tpu import DiagGaussian, MixtureProblem
+from glabc_tpu.samplers.aglmcmc import run_aglmcmc
+from glabc_tpu.samplers.aglmcmc_fused import run_aglmcmc_fused
+
+PROB = MixtureProblem(0.05)
+IP = DiagGaussian.create(2, 0.0, 0.0)
+LP = DiagGaussian.create(2, 0.0, float(jnp.log(0.35)))
+
+
+def bench_fused(C, num_ite, step_size=200, block_chains=1024,
+                collect_history=True, epoch_chunk=0):
+    key = jax.random.PRNGKey(0)
+    # warm up compiles on a short run
+    run_aglmcmc_fused(PROB, key, step_size + 1, jnp.zeros(2), IP,
+                      step_size=step_size, num_chains=C,
+                      block_chains=block_chains,
+                      collect_history=collect_history,
+                      epoch_chunk=epoch_chunk)
+    t0 = time.perf_counter()
+    res = run_aglmcmc_fused(PROB, key, num_ite, jnp.zeros(2), IP,
+                            step_size=step_size, num_chains=C,
+                            block_chains=block_chains,
+                            collect_history=collect_history,
+                            epoch_chunk=epoch_chunk)
+    dt = time.perf_counter() - t0
+    trans = C * (num_ite - 1)
+    burn = min(2 * step_size, (num_ite - 1) // 2)
+    absmean = np.abs(res.thetas[:, burn:, :]).mean(axis=(0, 1)) \
+        if collect_history else None
+    acc = float(res.counts.global_accepts.sum()
+                / max(res.counts.global_attempts.sum(), 1))
+    return trans / dt, dt, absmean, acc, res.hat_eps.mean()
+
+
+def bench_scan(C, num_ite, step_size=200):
+    key = jax.random.PRNGKey(0)
+    run_aglmcmc(PROB, key, step_size + 1, jnp.zeros(2), LP, IP,
+                global_frequency=1.0, step_size=step_size, num_chains=C)
+    t0 = time.perf_counter()
+    run_aglmcmc(PROB, key, num_ite, jnp.zeros(2), LP, IP,
+                global_frequency=1.0, step_size=step_size, num_chains=C)
+    dt = time.perf_counter() - t0
+    return C * (num_ite - 1) / dt, dt
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="fused", choices=["fused", "scan", "both"])
+    ap.add_argument("--chains", type=int, nargs="+",
+                    default=[4096, 16384, 32768])
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--step-size", type=int, default=200)
+    ap.add_argument("--no-history", action="store_true")
+    args = ap.parse_args()
+    num_ite = 1 + args.epochs * args.step_size
+    print(f"backend={jax.devices()[0].platform} epochs={args.epochs} "
+          f"step_size={args.step_size}")
+    for C in args.chains:
+        if args.mode in ("fused", "both"):
+            ec = 4096 if C > 8192 else 0
+            rate, dt, absmean, acc, eps = bench_fused(
+                C, num_ite, args.step_size,
+                collect_history=not args.no_history, epoch_chunk=ec)
+            print(f"fused  C={C:7d}: {rate/1e6:9.1f}M trans/s  ({dt:.2f}s)  "
+                  f"acc={acc:.3f} hat_eps={eps:.3f} absmean={absmean}")
+        if args.mode in ("scan", "both"):
+            rate, dt = bench_scan(min(C, 4096), num_ite, args.step_size)
+            print(f"scan   C={min(C, 4096):7d}: {rate/1e6:9.2f}M trans/s  ({dt:.2f}s)")

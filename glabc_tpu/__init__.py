@@ -24,6 +24,7 @@ from .models.flows import CouplingFlow
 from .ops import chain_summary, esjd, esjd_per_second, rhat
 from .runner import MCMCRunner
 from .samplers.aglmcmc import run_aglmcmc
+from .samplers.aglmcmc_fused import run_aglmcmc_fused
 from .samplers.glmala import run_glmala
 from .samplers.glmcmc import run_glmcmc
 from .samplers.glmcmc_nf import run_glmcmc_nf
@@ -43,6 +44,7 @@ __all__ = [
     "run_glmala",
     "run_glmcmc_nf",
     "run_aglmcmc",
+    "run_aglmcmc_fused",
     "ABCProblem",
     "GKProblem",
     "DiagGaussian",

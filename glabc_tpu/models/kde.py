@@ -123,12 +123,21 @@ class KernelDensity:
     # --------------------------------------------------------------- sample
     def sample(self, key, num_samples: int = 1) -> jnp.ndarray:
         """Multinomial component pick + per-feature Gaussian noise
-        (``kernel_density.py:130-156``)."""
+        (``kernel_density.py:130-156``).
+
+        The component pick is inverse-CDF sampling (cumsum + binary search)
+        rather than ``jax.random.categorical``: the Gumbel-max trick
+        materializes a ``(num_samples, support)`` noise matrix, which at
+        AGLMCMC's epoch scale (10^4 chains x 4 x pool oversampled draws over
+        a ~10^3-point support) is tens of GB per epoch; inverse-CDF is
+        ``O(num_samples log support)`` with the same iid categorical law.
+        Zero-weight (masked) rows have flat CDF segments and are never
+        selected."""
         k_idx, k_noise = jax.random.split(key)
-        logits = jnp.where(self.weights > 0,
-                           jnp.log(jnp.where(self.weights > 0, self.weights, 1.0)),
-                           -jnp.inf)
-        idx = jax.random.categorical(k_idx, logits, shape=(num_samples,))
+        cdf = jnp.cumsum(self.weights)
+        u = jax.random.uniform(k_idx, (num_samples,)) * cdf[-1]
+        idx = jnp.clip(jnp.searchsorted(cdf, u, side="right"),
+                       0, self.n_samples - 1)
         noise = jax.random.normal(k_noise, (num_samples, self.dim)) * self.bandwidth
         return self.X[idx] + noise
 

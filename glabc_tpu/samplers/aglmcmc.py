@@ -218,6 +218,39 @@ def _shared_epoch_update(problem, cfg: AGLMCMCConfig, shared_support: int,
     return new_pools, kde, hat_eps
 
 
+def make_epoch_fn(problem, cfg: AGLMCMCConfig, num_chains: int,
+                  epoch_chunk: int = 0):
+    """Jitted per-chain adaptation epoch, batched over chains:
+    ``(keys (C,2), pools, hat_eps (C,)) -> (pools, kdes, hat_eps)``.
+    ``epoch_chunk > 0`` runs the chains in sequential ``lax.map`` chunks of
+    that size (memory bound for 10^4+ chain runs).  Shared by the scan and
+    fused AGLMCMC drivers."""
+    C = num_chains
+    vmapped_epoch = jax.vmap(
+        functools.partial(_epoch_update, problem, cfg), in_axes=(0, 0, 0)
+    )
+    if not (epoch_chunk and epoch_chunk < C):
+        return jax.jit(vmapped_epoch)
+    assert C % epoch_chunk == 0, "num_chains must divide by epoch_chunk"
+
+    @jax.jit
+    def epoch_fn(keys, pools_, eps_):
+        def reblock(x):
+            return x.reshape((C // epoch_chunk, epoch_chunk) + x.shape[1:])
+
+        def unblock(x):
+            return x.reshape((C,) + x.shape[2:])
+
+        out = jax.lax.map(
+            lambda args: vmapped_epoch(*args),
+            (reblock(keys), jax.tree_util.tree_map(reblock, pools_),
+             reblock(eps_)),
+        )
+        return jax.tree_util.tree_map(unblock, out)
+
+    return epoch_fn
+
+
 def _build_step(problem, local_proposal, initial_proposal, cfg: AGLMCMCConfig,
                 use_kde: bool):
     """Transition kernel for one segment.  ``use_kde`` is static: False for
@@ -353,9 +386,6 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
     else:
         kdes = jax.vmap(lambda th: KernelDensity.fit(th))(pools.theta)
 
-    vmapped_epoch = jax.vmap(
-        functools.partial(_epoch_update, problem, cfg), in_axes=(0, 0, 0)
-    )
     if shared_adaptation:
         if mesh is not None:
             from ..parallel.sharded import make_sharded_shared_epoch
@@ -368,24 +398,8 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                                   shared_support)
             )
         epoch_fn = None
-    elif epoch_chunk and epoch_chunk < C:
-        assert C % epoch_chunk == 0, "num_chains must divide by epoch_chunk"
-
-        @jax.jit
-        def epoch_fn(keys, pools_, eps_):
-            def reblock(x):
-                return x.reshape((C // epoch_chunk, epoch_chunk)
-                                 + x.shape[1:])
-            def unblock(x):
-                return x.reshape((C,) + x.shape[2:])
-            out = jax.lax.map(
-                lambda args: vmapped_epoch(*args),
-                (reblock(keys), jax.tree_util.tree_map(reblock, pools_),
-                 reblock(eps_)),
-            )
-            return jax.tree_util.tree_map(unblock, out)
     else:
-        epoch_fn = jax.jit(vmapped_epoch)
+        epoch_fn = make_epoch_fn(problem, cfg, C, epoch_chunk)
 
     kde_axis = None if shared_adaptation else 0
 
