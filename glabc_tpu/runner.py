@@ -190,15 +190,37 @@ class MCMCRunner:
                     global_frequency, local_proposal, Initial_ISIR_prop,
                     batch_size, step_size, alpha, hat_eps_T,
                     output_file: Optional[str] = "aglmcmc_results.csv",
-                    key=None, **kwargs):
-        """Run AGLMCMC (reference ``MCMCRunner.py:55-76``)."""
+                    key=None, method: str = "scan", **kwargs):
+        """Run AGLMCMC (reference ``MCMCRunner.py:55-76``).
+
+        ``method='fused'`` routes through the fused pool-iSIR Pallas kernel
+        (any :class:`ABCProblem` — pool simulation/weighting and the
+        adaptation epochs run on the XLA path; requires
+        ``global_frequency == 1``, the canonical config, where every
+        transition is a global pool-iSIR move)."""
         writer, on_segment = self._writer(output_file, initial_theta)
-        res = run_aglmcmc(
-            self.abc_set, self._next_key(key), num_iterations, initial_theta,
-            local_proposal, Initial_ISIR_prop, global_frequency, batch_size,
-            step_size, alpha, hat_eps_T, y0=initial_y,
-            num_chains=self.num_chains, on_segment=on_segment, **kwargs,
-        )
+        if method == "fused":
+            if float(global_frequency) != 1.0:
+                raise ValueError(
+                    "method='fused' AGLMCMC requires global_frequency == 1 "
+                    "(every transition a pool-iSIR move); use method='scan' "
+                    "for gf < 1")
+            from .samplers.aglmcmc_fused import run_aglmcmc_fused
+            res = run_aglmcmc_fused(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, Initial_ISIR_prop, batch_size=batch_size,
+                step_size=step_size, alpha=alpha, hat_eps_T=hat_eps_T,
+                y0=initial_y, num_chains=self.num_chains,
+                on_segment=on_segment, **kwargs,
+            )
+        else:
+            res = run_aglmcmc(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, local_proposal, Initial_ISIR_prop,
+                global_frequency, batch_size, step_size, alpha, hat_eps_T,
+                y0=initial_y, num_chains=self.num_chains,
+                on_segment=on_segment, **kwargs,
+            )
         return self._finish(res, "AGLMCMC")
 
     def run_glmala(self, num_iterations, initial_theta, initial_y,

@@ -1,0 +1,461 @@
+"""GLMCMC-NF fast paths: pooled XLA scan (any gf) and fused Pallas kernel (gf=1).
+
+Restores the reference's *pool* semantics (``GLMCMC_NFs.py:70-140``) on the
+TPU compute path — the performance-critical redesign the per-step
+``samplers/glmcmc_nf.py`` scan cannot express:
+
+* Each adaptation epoch draws ``batch_size * step_size`` flow proposals PER
+  CHAIN in one chunked batched ``flow.forward`` (32-layer coupling MLPs as
+  big MXU matmuls), simulates and MCMC-weights them (``GLMCMC_NFs.py:70-86``)
+  — instead of 5 tiny per-chain flow forwards inside every scan step.
+* Global moves are iSIR over the precomputed pool, consuming one
+  ``batch_size`` slice per move (``:93-111``); the only flow evaluation left
+  in the hot loop is the current state's ``log_prob`` (``:98``), batched
+  across all chains into one (C, d) inverse pass per step.
+* When the pool is exhausted the flow takes one Adam step of forward KL on
+  an importance-resampled draw FROM THE POOL (``:114-124`` — the scan path
+  substitutes fresh flow draws; this path trains on the very pool the chains
+  consumed, exactly the reference), then the pool is redrawn from the updated
+  flow (``:125-140``).
+* ``global_frequency < 1`` uses the same fixed-segment + slack-padded-pool
+  scheme as AGLMCMC (``samplers/aglmcmc.py`` module docstring): segments of
+  ``round(step_size/gf)`` steps, pools carry ~5-sigma extra slices so a
+  binomial overshoot never reuses a slice; what remains vs the reference is
+  epoch-timing jitter, bounded by ``tests/test_nf_cadence.py``.
+* ``shared_coin=True`` draws ONE global/local coin per step shared by all
+  chains (each chain remains a valid GLMCMC-NF kernel; chains are no longer
+  independent): the coin becomes a scalar ``lax.cond`` so local steps skip
+  the flow inverse entirely — ~2x fewer flow FLOPs at gf=0.5.
+
+At ``global_frequency == 1`` every transition is a pool-iSIR move and the
+transition loop drops into the :class:`~glabc_tpu.ops.pallas.pool_isir_kernel.PoolISIR`
+Pallas kernel (``run_glmcmc_nf_fused``): the carried state log-weight is
+always a pool candidate's precomputed weight, the segment-entry value is
+recomputed under the fresh flow on the XLA path — the same contract as
+:func:`glabc_tpu.samplers.aglmcmc_fused.run_aglmcmc_fused`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.resampling import categorical_from_log_weights, systematic_resample
+from .aglmcmc import (
+    AGLCarry,
+    Pool,
+    _pool_from_proposals,
+    default_pool_slack,
+)
+from .base import MoveCounts, StepOut, local_rw_move, tree_select
+from .chain import init_chain_carry
+from .glmcmc_nf import GLMCMCNFConfig, NFResult, make_optimizer
+
+__all__ = [
+    "run_glmcmc_nf_pooled",
+    "run_glmcmc_nf_fused",
+    "make_nf_pool_fn",
+    "make_pool_trainer",
+]
+
+_SUB = 8
+
+
+# --------------------------------------------------------------- pool draw
+def make_nf_pool_fn(problem, num_chains: int, pool_slices: int,
+                    batch_size: int, chunk_rows: int = 1 << 20):
+    """Jitted ``(flow, key) -> Pool`` drawing ``C x pool_slices x batch_size``
+    flow proposals, simulated and MCMC-weighted (``GLMCMC_NFs.py:70-86``).
+
+    The total draw (up to ~3e7 rows at 32k chains) runs as a ``lax.map``
+    over row chunks so the (rows, hidden) coupling-MLP activations never
+    exceed ``chunk_rows * hidden`` floats of HBM."""
+    C = num_chains
+    P = pool_slices * batch_size
+    N = C * P
+    n_chunks = max(1, -(-N // chunk_rows))
+    chunk = -(-N // n_chunks)
+    pad = n_chunks * chunk - N
+
+    @jax.jit
+    def pool_fn(flow, key):
+        k_draw, k_sim = jax.random.split(key)
+
+        def one_chunk(k):
+            kd, ks = jax.random.split(k)
+            th, log_q = flow.forward(kd, chunk)
+            pool = _pool_from_proposals(problem, ks, th, log_q)
+            return pool
+
+        pools = jax.lax.map(one_chunk, jax.random.split(k_draw, n_chunks))
+        del k_sim
+
+        def reshape(x):
+            flat = x.reshape((n_chunks * chunk,) + x.shape[2:])
+            flat = flat[:N] if pad else flat
+            return flat.reshape((C, P) + x.shape[2:])
+
+        return jax.tree_util.tree_map(reshape, pools)
+
+    return pool_fn
+
+
+# ----------------------------------------------------------------- trainer
+def make_pool_trainer(cfg: GLMCMCNFConfig, optimizer, num_chains: int,
+                      theta_dim: int, max_train: int = 65536):
+    """One reference training epoch ON THE POOL (``GLMCMC_NFs.py:114-124``):
+    importance-resample the pool by its MCMC weights, one Adam step of
+    forward KL.  Only the first ``step_size`` slices (the reference pool —
+    slack slices excluded) feed training.  For ``C == 1`` the resampled set
+    is exactly the reference's ``step_size * batch_size`` draws; for many
+    chains the per-chain pools are flattened and the set capped at
+    ``max_train`` rows (the Adam step averages gradients, so more rows only
+    reduces variance).  NaN/inf losses skip the update (``:120-122``)."""
+    P_train = cfg.step_size * cfg.batch_size
+    n_train = min(num_chains * P_train, max_train)
+
+    @jax.jit
+    def train(flow, opt_state, pools: Pool, key):
+        theta = pools.theta[:, :P_train].reshape(-1, theta_dim)
+        log_w = pools.log_w[:, :P_train].reshape(-1)
+        w = jnp.exp(log_w)
+        w = jnp.where(jnp.isnan(w), 0.0, w)
+        w = w / jnp.sum(w)
+        idx = systematic_resample(key, w, n_train)
+        train_t = jax.lax.stop_gradient(theta[idx])
+
+        loss, grads = jax.value_and_grad(lambda f: f.forward_kld(train_t))(flow)
+        good = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(good, jnp.nan_to_num(g), 0.0), grads)
+        updates, new_opt_state = optimizer.update(grads, opt_state, flow)
+        new_flow = optax.apply_updates(flow, updates)
+        return (tree_select(good, new_flow, flow),
+                tree_select(good, new_opt_state, opt_state), loss)
+
+    return train
+
+
+# ------------------------------------------------------------- pooled scan
+def _build_pooled_bodies(problem, local_proposal, cfg: GLMCMCNFConfig,
+                         pool_slices: int):
+    """Per-chain global / local transition bodies over a precomputed pool.
+
+    The global body takes the chain's current-state flow log-density
+    (computed batched outside — ``GLMCMC_NFs.py:98``) and consumes pool
+    slice ``kk`` (``:93-111``); the local body is the usual RW-MH move
+    (``:141-151``)."""
+    B = cfg.batch_size
+
+    def global_move(pool: Pool, logq_old, carry: AGLCarry):
+        key, k_move = jax.random.split(carry.key)
+        start = jnp.minimum(carry.kk, pool_slices - 1) * B
+        th_slice = jax.lax.dynamic_slice_in_dim(pool.theta, start, B)
+        x_slice = jax.lax.dynamic_slice_in_dim(pool.x, start, B)
+        dis_slice = jax.lax.dynamic_slice_in_dim(pool.dis, start, B)
+        logw_slice = jax.lax.dynamic_slice_in_dim(pool.log_w, start, B)
+
+        log_w_old = (problem.prior_log_prob(carry.theta) + carry.log_kernel
+                     - logq_old)
+        log_w = jnp.concatenate([log_w_old[None], logw_slice])
+        ind = categorical_from_log_weights(k_move, log_w)
+        thetas = jnp.concatenate([carry.theta[None], th_slice])
+        ys = jnp.concatenate([carry.y[None], x_slice])
+        lks = jnp.concatenate(
+            [carry.log_kernel[None], problem.kernel_log_prob(dis_slice)])
+        accepted = ind != 0
+        counts = carry.counts.update(jnp.bool_(True), accepted)
+        new = AGLCarry(thetas[ind], ys[ind], lks[ind], carry.kk + 1, key,
+                       counts)
+        return new, StepOut(new.theta, accepted, jnp.bool_(True))
+
+    def local_move(carry: AGLCarry):
+        key, k_move = jax.random.split(carry.key)
+        theta, y, lk, accepted = local_rw_move(
+            problem, local_proposal, k_move, carry.theta, carry.y,
+            carry.log_kernel, cfg.support_retries)
+        counts = carry.counts.update(jnp.bool_(False), accepted)
+        new = AGLCarry(theta, y, lk, carry.kk, key, counts)
+        return new, StepOut(theta, accepted, jnp.bool_(False))
+
+    return global_move, local_move
+
+
+def make_pooled_segment(problem, local_proposal, flow_template,
+                        cfg: GLMCMCNFConfig, pool_slices: int,
+                        shared_coin: bool):
+    """Jitted ``segment(flow, pools, carry, coin_key, length)`` advancing all
+    chains ``length`` steps over their pools.
+
+    Per-chain coin (reference kernel, independent chains): every step
+    computes one batched ``flow.log_prob`` over all chains' states and a
+    vmapped ``lax.cond`` picks global/local per chain.  Shared coin: the
+    coin is a scalar ``lax.cond`` — local steps skip the flow inverse."""
+    del flow_template
+    gf = cfg.global_frequency
+    global_move, local_move = _build_pooled_bodies(
+        problem, local_proposal, cfg, pool_slices)
+    v_global = jax.vmap(global_move, in_axes=(0, 0, 0))
+    v_local = jax.vmap(local_move)
+
+    if shared_coin:
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def segment(flow, pools, carry, coin_key, length):
+            coins = jax.random.uniform(coin_key, (length,)) < gf
+
+            def body(c, coin):
+                def g(c):
+                    logq = flow.log_prob(c.theta)
+                    return v_global(pools, logq, c)
+
+                return jax.lax.cond(coin, g, v_local, c)
+
+            return jax.lax.scan(body, carry, coins)
+    else:
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def segment(flow, pools, carry, coin_key, length):
+            def body(c, k_step):
+                logq = flow.log_prob(c.theta)
+                coins = (jax.random.uniform(k_step, (c.theta.shape[0],))
+                         < gf)
+
+                def one(coin, pool, lq, cc):
+                    return jax.lax.cond(
+                        coin,
+                        lambda: global_move(pool, lq, cc),
+                        lambda: local_move(cc),
+                    )
+
+                return jax.vmap(one)(coins, pools, logq, c)
+
+            keys = jax.random.split(coin_key, length)
+            return jax.lax.scan(body, carry, keys)
+
+    return segment
+
+
+def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
+                         base=None, global_frequency=0.5, batch_size=5,
+                         step_size=200, train_steps=50, y0=None,
+                         num_chains: int = 1, n_layers: int = 32,
+                         hidden: int = 128, on_segment=None, flow=None,
+                         support_retries: int = 0, shared_coin: bool = False,
+                         pool_slack: Optional[int] = None,
+                         max_train: int = 65536,
+                         chunk_rows: int = 1 << 20,
+                         learning_rate: float = 5e-4,
+                         weight_decay: float = 1e-5) -> NFResult:
+    """GLMCMC-NF via the pooled XLA fast path (reference pool semantics).
+
+    Same Markov kernel as :func:`glabc_tpu.samplers.glmcmc_nf.run_glmcmc_nf`
+    (which draws fresh flow proposals per move); this path precomputes the
+    reference's proposal pools per epoch and trains on them — see the module
+    docstring.  ~10-100x the per-step scan path at canonical configs."""
+    from ..models.flows import CouplingFlow
+
+    cfg = GLMCMCNFConfig(global_frequency, batch_size, step_size, train_steps,
+                         n_layers, hidden, learning_rate, weight_decay,
+                         support_retries=support_retries)
+    if pool_slack is None:
+        pool_slack = default_pool_slack(step_size, global_frequency)
+    pool_slices = step_size + pool_slack
+    C = num_chains
+    d = problem.theta_dim
+
+    key = jnp.asarray(key)
+    k_flow, k_chain, k_loop = jax.random.split(key, 3)
+    if flow is None:
+        flow = CouplingFlow.create(k_flow, d, n_layers, hidden, base=base)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(flow)
+
+    cc = init_chain_carry(problem, k_chain, theta0, y0, C)
+    carry = AGLCarry(cc.theta, cc.y, cc.log_kernel,
+                     jnp.zeros((C,), jnp.int32), cc.key, cc.counts)
+    theta_init = np.asarray(carry.theta)[:, None, :]
+
+    pool_fn = make_nf_pool_fn(problem, C, pool_slices, batch_size, chunk_rows)
+    train = make_pool_trainer(cfg, optimizer, C, d, max_train)
+    segment = make_pooled_segment(problem, local_proposal, flow, cfg,
+                                  pool_slices, shared_coin)
+
+    seg_len = (max(1, int(round(step_size / global_frequency)))
+               if global_frequency > 0 else (num_ite - 1))
+
+    k_loop, k_pool0 = jax.random.split(k_loop)
+    pools = pool_fn(flow, k_pool0)
+
+    blocks, losses = [], []
+    num_train = 0
+    done, total = 0, num_ite - 1
+    while done < total:
+        take = min(seg_len, total - done)
+        k_loop, k_coin = jax.random.split(k_loop)
+        carry, outs = segment(flow, pools, carry, k_coin, take)
+        blocks.append(np.moveaxis(np.asarray(outs.theta), 0, 1))
+        if on_segment is not None:
+            on_segment(blocks[-1], done)
+        done += take
+        if done < total:
+            # pool exhausted: train on it, then redraw from the updated flow
+            # (GLMCMC_NFs.py:112-140; redraw happens even after training
+            # stops at Train_step)
+            k_loop, k_tr, k_pl = jax.random.split(k_loop, 3)
+            if num_train < train_steps:
+                flow, opt_state, loss = train(flow, opt_state, pools, k_tr)
+                losses.append(float(loss))
+                num_train += 1
+            pools = pool_fn(flow, k_pl)
+            carry = carry._replace(kk=carry.kk * 0)
+
+    thetas = np.concatenate([theta_init] + blocks, axis=1)
+    return NFResult(
+        thetas=thetas, counts=carry.counts, final_carry=carry,
+        flow=flow, loss_hist=np.asarray(losses),
+    )
+
+
+# ---------------------------------------------------------- Pallas (gf = 1)
+def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
+                        base=None, batch_size=5, step_size=200,
+                        train_steps=50, y0=None, num_chains: int = 4096,
+                        n_layers: int = 32, hidden: int = 128,
+                        block_chains: int = 1024, collect_history: bool = True,
+                        on_segment=None, flow=None, seed: int | None = None,
+                        max_train: int = 65536, chunk_rows: int = 1 << 20,
+                        learning_rate: float = 5e-4,
+                        weight_decay: float = 1e-5,
+                        interpret: bool = False, mesh=None) -> NFResult:
+    """GLMCMC-NF at ``global_frequency = 1`` via the fused pool-iSIR Pallas
+    kernel: every transition is an iSIR move over a precomputed flow pool, so
+    the in-kernel step is pure data selection; flow sampling, training, and
+    the segment-entry state log-weight run on the XLA path between
+    ``pallas_call``s.  Same driver contract as
+    :func:`glabc_tpu.samplers.aglmcmc_fused.run_aglmcmc_fused` (history of
+    exactly ``num_ite`` rows; final carry may be ahead on a ragged final
+    segment; per-segment move counts scaled pro-rata)."""
+    from ..models.flows import CouplingFlow
+    from ..ops.pallas.pool_isir_kernel import (
+        PoolISIR,
+        pack_pool_logw,
+        pack_pool_theta,
+    )
+
+    del local_proposal  # gf=1: no local moves
+    d = problem.theta_dim
+    d_pad = max(_SUB, ((d + _SUB - 1) // _SUB) * _SUB)
+    T, B, C = int(step_size), int(batch_size), int(num_chains)
+    cfg = GLMCMCNFConfig(1.0, B, T, train_steps, n_layers, hidden,
+                         learning_rate, weight_decay)
+
+    key = jnp.asarray(key)
+    k_flow, k_chain, k_loop = jax.random.split(key, 3)
+    if flow is None:
+        flow = CouplingFlow.create(k_flow, d, n_layers, hidden, base=base)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(flow)
+
+    cc = init_chain_carry(problem, k_chain, theta0, y0, C)
+    pool_fn = make_nf_pool_fn(problem, C, T, B, chunk_rows)
+    train = make_pool_trainer(cfg, optimizer, C, d, max_train)
+
+    kern = PoolISIR(d, batch_size=B, steps_per_call=T,
+                    block_chains=block_chains,
+                    collect_history=collect_history, interpret=interpret)
+    if mesh is not None:
+        kern_run = kern.make_sharded_run(mesh)
+    else:
+        kern_run = kern.run
+
+    @jax.jit
+    def pack(pools_):
+        return (pack_pool_theta(pools_.theta, T, B, d_pad),
+                pack_pool_logw(pools_.log_w, T, B))
+
+    @jax.jit
+    def state_logw(flow_, theta_k, logk):
+        """Segment-entry carried log-weight under the CURRENT flow — exactly
+        the reference's per-global-move recompute (``GLMCMC_NFs.py:98-101``),
+        hoisted to once per epoch (between epochs the state is always a pool
+        candidate whose weight the kernel carries)."""
+        th = theta_k[:d].T
+        logq = flow_.log_prob(th)
+        return (problem.prior_log_prob(th) + logk - logq)[None, :]
+
+    @jax.jit
+    def state_init(theta_cd):
+        return jnp.zeros((d_pad, C), jnp.float32).at[:d].set(theta_cd.T)
+
+    @jax.jit
+    def resolve(pools_, sel, y_prev, logk_prev):
+        s = sel[0]
+        idx = jnp.maximum(s, 0.0).astype(jnp.int32)
+        y_sel = jnp.take_along_axis(pools_.x, idx[:, None, None], axis=1)[:, 0]
+        dis_sel = jnp.take_along_axis(pools_.dis, idx[:, None], axis=1)[:, 0]
+        logk_sel = problem.kernel_log_prob(dis_sel)
+        moved = s >= 0.0
+        return (jnp.where(moved[:, None], y_sel, y_prev),
+                jnp.where(moved, logk_sel, logk_prev))
+
+    k_loop, k_pool0 = jax.random.split(k_loop)
+    pools = pool_fn(flow, k_pool0)
+    theta_k = state_init(cc.theta)
+    logw_k = state_logw(flow, theta_k, cc.log_kernel)
+    y_cur, logk = cc.y, cc.log_kernel
+    theta_init_row = np.asarray(cc.theta)[:, None, :]
+
+    if seed is None:
+        seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
+                                      0, 2**31 - 1))
+
+    blocks, losses = [], []
+    g_acc = np.zeros((C,), np.float64)
+    num_train = 0
+    done, steps_run, ep = 0, 0, 0
+    total = num_ite - 1
+    ptheta, plogw = pack(pools)
+    while done < total:
+        take = min(T, total - done)
+        theta_k, logw_k, sel, moved, hist = kern_run(
+            np.int32((seed + ep) % (2**31 - 1)), ptheta, plogw,
+            theta_k, logw_k)
+        if collect_history:
+            block = np.moveaxis(np.asarray(hist)[:take, :d, :], 2, 0)
+            if on_segment is not None:
+                on_segment(block, done)
+            blocks.append(block)
+        y_cur, logk = resolve(pools, sel, y_cur, logk)
+        g_acc += np.asarray(moved)[0] * (take / T)
+        steps_run += take
+        done += take
+        if done < total:
+            k_loop, k_tr, k_pl = jax.random.split(k_loop, 3)
+            if num_train < train_steps:
+                flow, opt_state, loss = train(flow, opt_state, pools, k_tr)
+                losses.append(float(loss))
+                num_train += 1
+            pools = pool_fn(flow, k_pl)
+            ep += 1
+            ptheta, plogw = pack(pools)
+            logw_k = state_logw(flow, theta_k, logk)
+
+    thetas = (np.concatenate([theta_init_row] + blocks, axis=1)
+              if collect_history else theta_init_row)
+    att = np.full((C,), steps_run, np.int32)
+    counts = MoveCounts(
+        global_attempts=att,
+        global_accepts=np.rint(g_acc).astype(np.int32),
+        local_attempts=np.zeros((C,), np.int32),
+        local_accepts=np.zeros((C,), np.int32),
+    )
+    return NFResult(
+        thetas=thetas, counts=counts,
+        final_carry=(theta_k, y_cur, logk, logw_k),
+        flow=flow, loss_hist=np.asarray(losses),
+    )

@@ -199,6 +199,35 @@ class TestDriverOracle:
         assert int(res.counts.global_attempts[0]) == 9
 
 
+class TestRunnerFacade:
+    """MCMCRunner.run_aglmcmc(method='fused') routes through the pool-iSIR
+    kernel with the reference argument order (``MCMCRunner.py:55-76``)."""
+
+    def test_fused_method_routes_and_writes(self, tmp_path):
+        from glabc_tpu import MCMCRunner
+
+        runner = MCMCRunner(PROB, output_dir=str(tmp_path), num_chains=128,
+                            verbose=False)
+        ch = runner.run_aglmcmc(13, jnp.zeros(2), None, 1.0, LP, IP,
+                                batch_size=3, step_size=4, alpha=0.8,
+                                hat_eps_T=0.2, method="fused",
+                                block_chains=128, seed=0, interpret=True)
+        assert ch.shape == (128, 13, 2)
+        csv = np.loadtxt(tmp_path / "aglmcmc_results.csv", delimiter=",")
+        assert csv.shape == (13, 2)
+        np.testing.assert_allclose(csv, ch[0], rtol=1e-6, atol=1e-7)
+
+    def test_fused_method_rejects_gf_lt_1(self, tmp_path):
+        from glabc_tpu import MCMCRunner
+
+        runner = MCMCRunner(PROB, output_dir=str(tmp_path), num_chains=128,
+                            verbose=False)
+        with pytest.raises(ValueError, match="global_frequency"):
+            runner.run_aglmcmc(13, jnp.zeros(2), None, 0.5, LP, IP,
+                               batch_size=3, step_size=4, alpha=0.8,
+                               hat_eps_T=0.2, method="fused")
+
+
 @pytest.mark.skipif(
     not (ON_TPU or os.environ.get("GLABC_TPU_TESTS")),
     reason="fused Pallas kernel needs a real TPU (interpret-mode PRNG is stubbed)",
