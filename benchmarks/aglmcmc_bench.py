@@ -8,6 +8,9 @@ single-chain Python loop (~2k it/s, BASELINE.md) and the repo's scan path.
 Usage: nohup setsid python -u benchmarks/aglmcmc_bench.py > /tmp/agl.txt &
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

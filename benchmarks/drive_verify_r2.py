@@ -6,6 +6,9 @@
    uninterrupted run — exercises carry_path normalization, atomic save,
    and the config-metadata validation added this round.
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import tempfile

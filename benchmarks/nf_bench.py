@@ -57,23 +57,85 @@ def bench_scan(C: int, steps: int = 400):
     return C * steps / best
 
 
+def bench_pooled(C: int, epochs: int = 4, shared_coin: bool = False,
+                 gf: float = 0.5):
+    """End-to-end pooled path at the canonical config: gf=0.5, B=5,
+    step_size=200 (seg_len=400) — includes pool redraws and flow training."""
+    from glabc_tpu import DiagGaussian, MixtureProblem
+    from glabc_tpu.samplers.glmcmc_nf_fused import run_glmcmc_nf_pooled
+
+    problem = MixtureProblem(0.05)
+    lp = DiagGaussian.create(2, 0.0, float(np.log(0.35)))
+    jax.block_until_ready(jnp.zeros(()))
+    print(f"[pooled C={C} shared_coin={shared_coin}] device claimed",
+          flush=True)
+    kw = dict(global_frequency=gf, batch_size=5, step_size=200,
+              train_steps=50, num_chains=C, shared_coin=shared_coin)
+    seg_len = int(round(200 / gf))
+    # warmup compile: one segment + one train + one redraw
+    run_glmcmc_nf_pooled(problem, jax.random.PRNGKey(0), seg_len + 2,
+                         jnp.zeros(2), lp, **kw)
+    print(f"[pooled C={C}] compiled; timing {epochs} epochs", flush=True)
+    num_ite = 1 + epochs * seg_len
+    t0 = time.perf_counter()
+    res = run_glmcmc_nf_pooled(problem, jax.random.PRNGKey(1), num_ite,
+                               jnp.zeros(2), lp, **kw)
+    dt = time.perf_counter() - t0
+    burn = min(seg_len, (num_ite - 1) // 2)
+    absmean = np.abs(res.thetas[:, burn:, :].astype(np.float64)).mean((0, 1))
+    rates = res.acceptance_rates()
+    print(f"[pooled C={C}] absmean={absmean} "
+          f"g_acc={float(np.mean(rates['global'])):.4f} "
+          f"l_acc={float(np.mean(rates['local'])):.4f}", flush=True)
+    return C * (num_ite - 1) / dt
+
+
+def bench_fused(C: int, epochs: int = 4):
+    """gf=1 pool-iSIR Pallas path, end-to-end with training + redraws."""
+    from glabc_tpu import DiagGaussian, MixtureProblem
+    from glabc_tpu.samplers.glmcmc_nf_fused import run_glmcmc_nf_fused
+
+    problem = MixtureProblem(0.05)
+    jax.block_until_ready(jnp.zeros(()))
+    print(f"[fused C={C}] device claimed", flush=True)
+    kw = dict(batch_size=5, step_size=200, train_steps=50, num_chains=C,
+              block_chains=min(C, 1024))
+    run_glmcmc_nf_fused(problem, jax.random.PRNGKey(0), 202, jnp.zeros(2),
+                        **kw)
+    print(f"[fused C={C}] compiled; timing {epochs} epochs", flush=True)
+    num_ite = 1 + epochs * 200
+    t0 = time.perf_counter()
+    res = run_glmcmc_nf_fused(problem, jax.random.PRNGKey(1), num_ite,
+                              jnp.zeros(2), **kw)
+    dt = time.perf_counter() - t0
+    burn = min(200, (num_ite - 1) // 2)
+    absmean = np.abs(res.thetas[:, burn:, :].astype(np.float64)).mean((0, 1))
+    acc = float(res.counts.global_accepts.sum()
+                / max(res.counts.global_attempts.sum(), 1))
+    print(f"[fused C={C}] absmean={absmean} g_acc={acc:.4f}", flush=True)
+    return C * (num_ite - 1) / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="scan")
-    ap.add_argument("--chains", type=int, default=0)
+    ap.add_argument("--mode", default="scan",
+                    choices=["scan", "pooled", "pooled-shared", "fused"])
+    ap.add_argument("--chains", type=int, nargs="*", default=[])
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--epochs", type=int, default=4)
     args = ap.parse_args()
-    chain_counts = [args.chains] if args.chains else [1024, 8192, 32768]
+    chain_counts = args.chains or [1024, 8192, 32768]
     for C in chain_counts:
         if args.mode == "scan":
             tps = bench_scan(C, args.steps)
         elif args.mode == "pooled":
-            from glabc_tpu.samplers.glmcmc_nf_fused import bench_pooled
-            tps = bench_pooled(C, args.steps)
+            tps = bench_pooled(C, args.epochs)
+        elif args.mode == "pooled-shared":
+            tps = bench_pooled(C, args.epochs, shared_coin=True)
         else:
-            raise SystemExit(f"unknown mode {args.mode}")
-        print(f"mode={args.mode} chains={C} steps={args.steps} "
-              f"-> {tps:,.0f} transitions/s", flush=True)
+            tps = bench_fused(C, args.epochs)
+        print(f"mode={args.mode} chains={C} -> {tps:,.0f} transitions/s",
+              flush=True)
 
 
 if __name__ == "__main__":

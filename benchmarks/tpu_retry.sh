@@ -27,7 +27,8 @@ for attempt in $(seq 1 "$MAX"); do
       if [ $rc -eq 0 ]; then echo "[tpu_retry] done rc=0" >> "$LOG.meta"; exit 0; fi
       echo "[tpu_retry] exited rc=$rc" >> "$LOG.meta"; alive=2; break
     fi
-    if grep -q "claimed" "$LOG" 2>/dev/null; then alive=1; break; fi
+    # any non-warning output line means the device claim went through
+    if grep -qv "WARNING" "$LOG" 2>/dev/null; then alive=1; break; fi
   done
   if [ "$alive" = "1" ]; then
     echo "[tpu_retry] liveness ok, waiting for completion" >> "$LOG.meta"

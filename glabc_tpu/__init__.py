@@ -28,6 +28,7 @@ from .samplers.aglmcmc_fused import run_aglmcmc_fused
 from .samplers.glmala import run_glmala
 from .samplers.glmcmc import run_glmcmc
 from .samplers.glmcmc_nf import run_glmcmc_nf
+from .samplers.glmcmc_nf_fused import run_glmcmc_nf_fused, run_glmcmc_nf_pooled
 from .samplers.global_mcmc import run_global_mcmc
 from .utils import ChainWriter, load_carry, save_carry
 
@@ -43,6 +44,8 @@ __all__ = [
     "run_glmcmc",
     "run_glmala",
     "run_glmcmc_nf",
+    "run_glmcmc_nf_pooled",
+    "run_glmcmc_nf_fused",
     "run_aglmcmc",
     "run_aglmcmc_fused",
     "ABCProblem",

@@ -199,3 +199,44 @@ class PoolISIR:
         theta_n, logw_n, sel, moved, hist = out
         return (theta_n, logw_n, sel, moved,
                 hist if self.collect_history else None)
+
+    # ---------------------------------------------------------- multi-chip
+    def make_sharded_run(self, mesh):
+        """Multi-chip variant of :meth:`run`: the chain (lane) axis of the
+        state AND the per-chain pools is sharded over a 1-D mesh and the
+        per-device ``pallas_call`` runs inside ``shard_map`` with zero
+        collectives (pool-iSIR is chain-elementwise).  Each device's PRNG
+        seed is offset by ``device_index * local_blocks * T`` grid slots so
+        the device streams tile the exact ``seed + (i*T + t) * stride``
+        pattern of one big single-device grid.
+
+        Returns ``run(seed, pool_theta, pool_logw, theta, logw)`` taking
+        globally-sharded arrays (state rows ``P(None, 'chains')``, pools
+        ``P(None, ..., 'chains')``)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ...parallel.mesh import CHAIN_AXIS
+
+        T, C_blk = self.T, self.C_blk
+
+        def worker(seed, ptheta, plogw, theta, logw):
+            my = jax.lax.axis_index(CHAIN_AXIS)
+            n_blk_local = theta.shape[-1] // C_blk
+            seed_dev = (seed
+                        + my.astype(jnp.int32)
+                        * jnp.int32(n_blk_local * T)
+                        * jnp.int32(SEED_STRIDE))
+            return self.run(seed_dev, ptheta, plogw, theta, logw)
+
+        row = P(None, CHAIN_AXIS)
+        out_specs = (row, row, row, row,
+                     (P(None, None, CHAIN_AXIS) if self.collect_history
+                      else None))
+        sharded = jax.shard_map(
+            worker, mesh=mesh,
+            in_specs=(P(), P(None, None, None, CHAIN_AXIS),
+                      P(None, None, CHAIN_AXIS), row, row),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(sharded)

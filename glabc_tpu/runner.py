@@ -260,18 +260,54 @@ class MCMCRunner:
                       importance_proposal_base, batch_size, step_size,
                       train_steps,
                       output_file: Optional[str] = "glmcmc_nf_results.csv",
-                      key=None, **kwargs):
+                      key=None, method: str = "pooled", **kwargs):
         """Run GLMCMC-NF (reference ``MCMCRunner.py:100-121``).
 
         ``importance_proposal_base`` is the flow's base distribution (a
         ``DiagGaussian``), like the reference's normflows base argument.
+
+        ``method`` selects the compute path (same Markov kernel, any
+        :class:`ABCProblem`):
+
+        * ``'pooled'`` (default) — the reference's pool semantics on the
+          XLA fast path: per-epoch batched flow pools, training on the
+          consumed pool, one batched flow inverse per step
+          (``samplers/glmcmc_nf_fused.run_glmcmc_nf_pooled``);
+        * ``'fused'`` — the pool-iSIR Pallas kernel; requires
+          ``global_frequency == 1`` (every move global);
+        * ``'scan'`` — per-step fresh flow draws (the round-1 path).
         """
         writer, on_segment = self._writer(output_file, initial_theta)
-        res = run_glmcmc_nf(
-            self.abc_set, self._next_key(key), num_iterations, initial_theta,
-            local_proposal, base=importance_proposal_base,
-            global_frequency=global_frequency, batch_size=batch_size,
-            step_size=step_size, train_steps=train_steps, y0=initial_y,
-            num_chains=self.num_chains, on_segment=on_segment, **kwargs,
-        )
+        if method == "fused":
+            if float(global_frequency) != 1.0:
+                raise ValueError(
+                    "method='fused' GLMCMC-NF requires global_frequency == 1 "
+                    "(every transition a pool-iSIR move); use "
+                    "method='pooled' for gf < 1")
+            from .samplers.glmcmc_nf_fused import run_glmcmc_nf_fused
+            res = run_glmcmc_nf_fused(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, local_proposal,
+                base=importance_proposal_base, batch_size=batch_size,
+                step_size=step_size, train_steps=train_steps, y0=initial_y,
+                num_chains=self.num_chains, on_segment=on_segment, **kwargs,
+            )
+        elif method == "pooled":
+            from .samplers.glmcmc_nf_fused import run_glmcmc_nf_pooled
+            res = run_glmcmc_nf_pooled(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, local_proposal,
+                base=importance_proposal_base,
+                global_frequency=global_frequency, batch_size=batch_size,
+                step_size=step_size, train_steps=train_steps, y0=initial_y,
+                num_chains=self.num_chains, on_segment=on_segment, **kwargs,
+            )
+        else:
+            res = run_glmcmc_nf(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, local_proposal, base=importance_proposal_base,
+                global_frequency=global_frequency, batch_size=batch_size,
+                step_size=step_size, train_steps=train_steps, y0=initial_y,
+                num_chains=self.num_chains, on_segment=on_segment, **kwargs,
+            )
         return self._finish(res, "GLMCMC-NF")

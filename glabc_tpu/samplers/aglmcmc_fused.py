@@ -48,7 +48,8 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
                       oversample: int = 4, num_chains: int = 4096,
                       block_chains: int = 1024, collect_history: bool = True,
                       y0=None, seed: int | None = None, epoch_chunk: int = 0,
-                      on_segment=None, interpret: bool = False) -> AGLResult:
+                      on_segment=None, interpret: bool = False,
+                      mesh=None) -> AGLResult:
     """AGLMCMC via the fused pool-iSIR Pallas kernel (gf = 1).
 
     Segments are ``step_size`` transitions (= one pool) per ``pallas_call``;
@@ -64,7 +65,14 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     ``num_ite`` long but the final carry is up to ``step_size - 1``
     transitions ahead of the last recorded state and the final segment's
     move counts are scaled pro-rata (same contract as
-    :func:`run_glmcmc_fused`)."""
+    :func:`run_glmcmc_fused`).
+
+    ``mesh``: a 1-D :class:`jax.sharding.Mesh` shards the chain axis —
+    state rows, per-chain pools, and the adaptation epochs (which are
+    chain-elementwise) all partition with zero collectives; the kernel runs
+    per-device inside ``shard_map`` with tiled PRNG streams
+    (:meth:`PoolISIR.make_sharded_run`).  Requires ``num_chains`` divisible
+    by ``block_chains * mesh size``."""
     d = problem.theta_dim
     d_pad = max(_SUB, ((d + _SUB - 1) // _SUB) * _SUB)
     T, B, C = int(step_size), int(batch_size), int(num_chains)
@@ -88,6 +96,25 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
         return jax.vmap(one)(jax.random.split(k, C))
 
     pools = init_pools(k_pool)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import CHAIN_AXIS
+        n_dev = mesh.devices.size
+        assert C % (block_chains * n_dev) == 0, (
+            f"num_chains must divide by {block_chains * n_dev}")
+        chain_sh = NamedSharding(mesh, P(CHAIN_AXIS))
+        pools = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, chain_sh), pools)
+        cc = cc._replace(
+            theta=jax.device_put(cc.theta, chain_sh),
+            y=jax.device_put(cc.y, chain_sh),
+            log_kernel=jax.device_put(cc.log_kernel, chain_sh))
+        kern_run = kern.make_sharded_run(mesh)
+    else:
+        kern_run = kern.run
 
     @jax.jit
     def pack(pools_):
@@ -140,7 +167,7 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     ptheta, plogw = pack(pools)
     while done < total:
         take = min(T, total - done)
-        theta_k, logw_k, sel, moved, hist = kern.run(
+        theta_k, logw_k, sel, moved, hist = kern_run(
             np.int32((seed + ep) % (2**31 - 1)), ptheta, plogw,
             theta_k, logw_k,
         )

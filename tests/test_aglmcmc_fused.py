@@ -199,6 +199,30 @@ class TestDriverOracle:
         assert int(res.counts.global_attempts[0]) == 9
 
 
+class TestShardedDriver:
+    """run_aglmcmc_fused(mesh=) on the 8-device CPU mesh must reproduce the
+    unsharded driver EXACTLY in interpret mode: selection is deterministic
+    (stubbed in-kernel PRNG) and all pool/epoch randomness comes from
+    XLA-path keys that are identical in both runs — so any difference is a
+    sharding-plumbing bug (specs, seed strides don't matter here, gathers)."""
+
+    def test_sharded_matches_unsharded(self):
+        from glabc_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh (conftest)")
+        kw = dict(batch_size=3, step_size=4, num_chains=1024,
+                  block_chains=128, seed=0, interpret=True)
+        res = run_aglmcmc_fused(PROB, KEY, 10, jnp.zeros(2), IP, **kw)
+        res_m = run_aglmcmc_fused(PROB, KEY, 10, jnp.zeros(2), IP,
+                                  mesh=make_mesh(8), **kw)
+        np.testing.assert_array_equal(res.thetas, res_m.thetas)
+        np.testing.assert_array_equal(res.hat_eps, res_m.hat_eps)
+        np.testing.assert_allclose(np.asarray(res.final_carry[3]),
+                                   np.asarray(res_m.final_carry[3]),
+                                   rtol=1e-6)
+
+
 class TestRunnerFacade:
     """MCMCRunner.run_aglmcmc(method='fused') routes through the pool-iSIR
     kernel with the reference argument order (``MCMCRunner.py:55-76``)."""

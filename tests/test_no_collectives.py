@@ -97,6 +97,34 @@ def test_sharded_fused_kernel_has_zero_collectives(mesh):
         f"{_collectives_in(compiled)}")
 
 
+def test_sharded_pool_isir_kernel_has_zero_collectives(mesh):
+    """The shard_map'd pool-iSIR kernel (fused AGLMCMC / NF transition loop)
+    must compile collective-free: state rows and per-chain pools are both
+    chain-sharded, and the kernel is pure per-chain data selection."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from glabc_tpu.ops.pallas.pool_isir_kernel import (
+        PoolISIR, pack_pool_logw, pack_pool_theta)
+    from glabc_tpu.parallel.mesh import CHAIN_AXIS
+
+    d, B, T, C = 2, 3, 4, 1024
+    kern = PoolISIR(d, batch_size=B, steps_per_call=T, block_chains=128,
+                    collect_history=True, interpret=True)
+    pt = pack_pool_theta(jnp.zeros((C, T * B, d)), T, B, 8)
+    pw = pack_pool_logw(jnp.zeros((C, T * B)), T, B)
+    th = jnp.zeros((8, C))
+    lw = jnp.zeros((1, C))
+    row = NamedSharding(mesh, P(None, CHAIN_AXIS))
+    pt = jax.device_put(pt, NamedSharding(mesh, P(None, None, None, CHAIN_AXIS)))
+    pw = jax.device_put(pw, NamedSharding(mesh, P(None, None, CHAIN_AXIS)))
+    th, lw = jax.device_put(th, row), jax.device_put(lw, row)
+    run = kern.make_sharded_run(mesh)
+    compiled = run.lower(jnp.int32(1), pt, pw, th, lw).compile()
+    assert not _collectives_in(compiled), (
+        f"sharded pool-iSIR kernel compiled with collectives: "
+        f"{_collectives_in(compiled)}")
+
+
 def test_adaptation_epoch_does_use_collectives(mesh):
     """Sanity: the sharded adaptation epoch IS the place collectives live
     (pooled refits / global quantiles) — assert they are present there, so
