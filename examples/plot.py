@@ -18,21 +18,21 @@ import sys
 import numpy as np
 
 
-def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "results/glmcmc_results.csv"
-    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
-    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 40_000
-
+def make_plots(data, trace_path, posterior_path, lo=30_000, hi=40_000,
+               title=""):
+    """Save the reference pair of figures for one chain: a trace scatter
+    with point size ~ visit count + path line over ``[lo, hi)``
+    (``plot.py:8-38``) and a full-chain posterior density contour
+    (``:40-67``)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    data = np.loadtxt(path, delimiter=",")
+    data = np.asarray(data)
     lo = min(lo, max(0, len(data) - 10_000))
     hi = min(hi, len(data))
     window = data[lo:hi]
 
-    # trace scatter: size ~ visit count (reference plot.py counts repeats)
     pts, counts = np.unique(window, axis=0, return_counts=True)
     fig, ax = plt.subplots(figsize=(6, 6))
     ax.plot(window[:, 0], window[:, 1], lw=0.3, color="gray", alpha=0.5,
@@ -41,10 +41,10 @@ def main():
                zorder=2)
     ax.set_xlabel(r"$\theta_1$")
     ax.set_ylabel(r"$\theta_2$")
-    ax.set_title(f"Trace, iterations {lo}-{hi}")
-    fig.savefig("traceplot_GLMCMC.pdf", bbox_inches="tight")
+    ax.set_title(f"{title} trace, iterations {lo}-{hi}".strip())
+    fig.savefig(trace_path, bbox_inches="tight")
+    plt.close(fig)
 
-    # posterior KDE contour over the full chain
     fig, ax = plt.subplots(figsize=(6, 6))
     try:
         import seaborn as sns
@@ -56,8 +56,18 @@ def main():
                     h.T, levels=10, cmap="Blues")
     ax.set_xlabel(r"$\theta_1$")
     ax.set_ylabel(r"$\theta_2$")
-    ax.set_title("Posterior density")
-    fig.savefig("posteriorGLMCMC_fill.pdf", bbox_inches="tight")
+    ax.set_title(f"{title} posterior density".strip())
+    fig.savefig(posterior_path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "results/glmcmc_results.csv"
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 40_000
+    data = np.loadtxt(path, delimiter=",")
+    make_plots(data, "traceplot_GLMCMC.pdf", "posteriorGLMCMC_fill.pdf",
+               lo, hi)
     print("saved traceplot_GLMCMC.pdf, posteriorGLMCMC_fill.pdf")
 
 
