@@ -30,12 +30,22 @@ LP = DiagGaussian.create(2, 0.0, float(jnp.log(0.35)))
 def bench_fused(C, num_ite, step_size=200, block_chains=1024,
                 collect_history=True, epoch_chunk=0):
     key = jax.random.PRNGKey(0)
-    # warm up compiles on a short run
+    # warm up compiles on a short run — step_size + 2 so ONE adaptation
+    # epoch compiles too (step_size + 1 would skip it and the timed run
+    # would include the epoch_fn compile)
+    run_aglmcmc_fused(PROB, key, step_size + 2, jnp.zeros(2), IP,
+                      step_size=step_size, num_chains=C,
+                      block_chains=block_chains,
+                      collect_history=collect_history,
+                      epoch_chunk=epoch_chunk)
+    # kernel+driver-only rate: one segment, no epoch
+    t0 = time.perf_counter()
     run_aglmcmc_fused(PROB, key, step_size + 1, jnp.zeros(2), IP,
                       step_size=step_size, num_chains=C,
                       block_chains=block_chains,
                       collect_history=collect_history,
                       epoch_chunk=epoch_chunk)
+    seg_rate = C * step_size / (time.perf_counter() - t0)
     t0 = time.perf_counter()
     res = run_aglmcmc_fused(PROB, key, num_ite, jnp.zeros(2), IP,
                             step_size=step_size, num_chains=C,
@@ -49,23 +59,51 @@ def bench_fused(C, num_ite, step_size=200, block_chains=1024,
         if collect_history else None
     acc = float(res.counts.global_accepts.sum()
                 / max(res.counts.global_attempts.sum(), 1))
-    return trans / dt, dt, absmean, acc, res.hat_eps.mean()
+    return trans / dt, dt, absmean, acc, res.hat_eps.mean(), seg_rate
 
 
-def bench_scan(C, num_ite, step_size=200):
+def bench_mixed(C, num_ite, step_size=200, gf=0.5, block_chains=1024,
+                shared_support=1024):
+    """gf<1 mixed kernel (in-kernel local move + resident shared KDE)."""
     key = jax.random.PRNGKey(0)
-    run_aglmcmc(PROB, key, step_size + 1, jnp.zeros(2), LP, IP,
-                global_frequency=1.0, step_size=step_size, num_chains=C)
+    kw = dict(global_frequency=gf, step_size=step_size, num_chains=C,
+              block_chains=block_chains, shared_support=shared_support)
+    seg_len = int(round(step_size / gf))
+    run_aglmcmc_fused(PROB, key, seg_len + 2, jnp.zeros(2), IP, **kw)
+    t0 = time.perf_counter()
+    run_aglmcmc_fused(PROB, key, seg_len + 1, jnp.zeros(2), IP, **kw)
+    seg_rate = C * seg_len / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    res = run_aglmcmc_fused(PROB, key, num_ite, jnp.zeros(2), IP, **kw)
+    dt = time.perf_counter() - t0
+    burn = min(2 * seg_len, (num_ite - 1) // 2)
+    absmean = np.abs(res.thetas[:, burn:, :]).mean(axis=(0, 1))
+    g_rate = float(res.counts.global_accepts.sum()
+                   / max(res.counts.global_attempts.sum(), 1))
+    l_rate = float(res.counts.local_accepts.sum()
+                   / max(res.counts.local_attempts.sum(), 1))
+    return (C * (num_ite - 1) / dt, dt, absmean, g_rate, l_rate,
+            float(res.hat_eps), seg_rate)
+
+
+def bench_scan(C, num_ite, step_size=200, epoch_chunk=1024):
+    key = jax.random.PRNGKey(0)
+    ec = min(C, epoch_chunk)
+    run_aglmcmc(PROB, key, step_size + 2, jnp.zeros(2), LP, IP,
+                global_frequency=1.0, step_size=step_size, num_chains=C,
+                epoch_chunk=ec)
     t0 = time.perf_counter()
     run_aglmcmc(PROB, key, num_ite, jnp.zeros(2), LP, IP,
-                global_frequency=1.0, step_size=step_size, num_chains=C)
+                global_frequency=1.0, step_size=step_size, num_chains=C,
+                epoch_chunk=ec)
     dt = time.perf_counter() - t0
     return C * (num_ite - 1) / dt, dt
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="fused", choices=["fused", "scan", "both"])
+    ap.add_argument("--mode", default="fused",
+                    choices=["fused", "scan", "both", "mixed"])
     ap.add_argument("--chains", type=int, nargs="+",
                     default=[4096, 16384, 32768])
     ap.add_argument("--epochs", type=int, default=10)
@@ -77,12 +115,24 @@ if __name__ == "__main__":
           f"step_size={args.step_size}")
     for C in args.chains:
         if args.mode in ("fused", "both"):
-            ec = 4096 if C > 8192 else 0
-            rate, dt, absmean, acc, eps = bench_fused(
+            # per-chain epoch peak is the (chunk, P, P) KDE log_prob
+            # intermediate (~4 MB/chain at P=1000): chunk to ~4 GB HBM
+            ec = min(C, 1024)
+            rate, dt, absmean, acc, eps, seg_rate = bench_fused(
                 C, num_ite, args.step_size,
                 collect_history=not args.no_history, epoch_chunk=ec)
-            print(f"fused  C={C:7d}: {rate/1e6:9.1f}M trans/s  ({dt:.2f}s)  "
+            print(f"fused  C={C:7d}: {rate/1e6:9.1f}M trans/s end-to-end "
+                  f"({dt:.2f}s), {seg_rate/1e6:9.1f}M kernel-segment  "
                   f"acc={acc:.3f} hat_eps={eps:.3f} absmean={absmean}")
-        if args.mode in ("scan", "both"):
+        if args.mode == "mixed":
+            seg_len = int(round(args.step_size / 0.5))
+            n_ite = 1 + args.epochs * seg_len
+            rate, dt, absmean, g_r, l_r, eps, seg_rate = bench_mixed(
+                C, n_ite, args.step_size)
+            print(f"mixed  C={C:7d}: {rate/1e6:9.1f}M trans/s end-to-end "
+                  f"({dt:.2f}s), {seg_rate/1e6:9.1f}M kernel-segment  "
+                  f"g_acc={g_r:.3f} l_acc={l_r:.3f} hat_eps={eps:.3f} "
+                  f"absmean={absmean}")
+        if args.mode in ("scan", "both") and C == args.chains[0]:
             rate, dt = bench_scan(min(C, 4096), num_ite, args.step_size)
             print(f"scan   C={min(C, 4096):7d}: {rate/1e6:9.2f}M trans/s  ({dt:.2f}s)")

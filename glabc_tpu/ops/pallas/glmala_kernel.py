@@ -68,6 +68,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._hashable import ConfigHashable
 from .sharding import SEED_STRIDE
 
 from .mixture_kernel import _gumbel, _normal_pair, _uniform
@@ -85,7 +86,7 @@ class GLMALAStats(NamedTuple):
     local_accepts: jnp.ndarray
 
 
-class PackedMixtureGLMALA:
+class PackedMixtureGLMALA(ConfigHashable):
     """Fused GLMALA for Mixture-family problems, ``d in {1, 2, 4, 8}``.
 
     Simulator ``y = |theta| + sigma z``, Gaussian prior ``N(prior_loc,

@@ -32,6 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._hashable import ConfigHashable
 from .sharding import SEED_STRIDE
 
 __all__ = ["FusedMixtureGLMCMC", "FusedStats", "fused_state_init"]
@@ -88,7 +89,7 @@ def _gumbel(shape):
     return -jnp.log(-jnp.log(_uniform(shape)))
 
 
-class FusedMixtureGLMCMC:
+class FusedMixtureGLMCMC(ConfigHashable):
     """Fused GLMCMC sampler for the (generalized) Mixture problem.
 
     Parameters mirror the scan-path sampler: Gaussian prior

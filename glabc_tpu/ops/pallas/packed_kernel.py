@@ -28,6 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._hashable import ConfigHashable
 from .sharding import SEED_STRIDE
 
 from .mixture_kernel import _gumbel, _normal_pair, _uniform
@@ -45,7 +46,7 @@ class PackedStats(NamedTuple):
     local_accepts: jnp.ndarray
 
 
-class PackedMixtureGLMCMC:
+class PackedMixtureGLMCMC(ConfigHashable):
     """Fused GLMCMC with sublane chain packing for ``d in {1, 2, 4, 8}``."""
 
     def __init__(self, theta_dim: int, y_obs, *, epsilon: float,

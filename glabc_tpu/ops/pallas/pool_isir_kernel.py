@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mixture_kernel import _gumbel
+from ._hashable import ConfigHashable
 from .sharding import SEED_STRIDE
 
 __all__ = ["PoolISIR", "pack_pool_theta", "pack_pool_logw"]
@@ -68,7 +69,7 @@ def pack_pool_logw(log_w: jnp.ndarray, T: int, B: int):
     return jnp.transpose(x, (1, 2, 0))
 
 
-class PoolISIR:
+class PoolISIR(ConfigHashable):
     """Fused iSIR-over-pool transition kernel (problem-agnostic).
 
     One ``run`` call advances every chain ``steps_per_call`` transitions,

@@ -193,25 +193,31 @@ class MCMCRunner:
                     key=None, method: str = "scan", **kwargs):
         """Run AGLMCMC (reference ``MCMCRunner.py:55-76``).
 
-        ``method='fused'`` routes through the fused pool-iSIR Pallas kernel
-        (any :class:`ABCProblem` — pool simulation/weighting and the
-        adaptation epochs run on the XLA path; requires
-        ``global_frequency == 1``, the canonical config, where every
-        transition is a global pool-iSIR move)."""
+        ``method='fused'`` routes through the fused pool-iSIR Pallas
+        kernels.  At the canonical ``global_frequency == 1`` (every
+        transition a global pool-iSIR move) any :class:`ABCProblem` works —
+        pool simulation/weighting and the adaptation epochs run on the XLA
+        path.  At ``global_frequency < 1`` the mixed kernel fuses the
+        per-chain coin, the Mixture-family local RW move, and the
+        current-state proposal density against a VMEM-resident *shared*
+        KDE (cross-chain adaptation; see
+        :func:`~glabc_tpu.samplers.aglmcmc_fused.run_aglmcmc_fused_mixed`
+        for the requirements)."""
         writer, on_segment = self._writer(output_file, initial_theta)
         if method == "fused":
-            if float(global_frequency) != 1.0:
-                raise ValueError(
-                    "method='fused' AGLMCMC requires global_frequency == 1 "
-                    "(every transition a pool-iSIR move); use method='scan' "
-                    "for gf < 1")
             from .samplers.aglmcmc_fused import run_aglmcmc_fused
+            extra = dict(kwargs)
+            if float(global_frequency) < 1.0:
+                extra.setdefault(
+                    "lp_scale",
+                    self._isotropic(local_proposal, "local proposal")[1])
             res = run_aglmcmc_fused(
                 self.abc_set, self._next_key(key), num_iterations,
                 initial_theta, Initial_ISIR_prop, batch_size=batch_size,
                 step_size=step_size, alpha=alpha, hat_eps_T=hat_eps_T,
                 y0=initial_y, num_chains=self.num_chains,
-                on_segment=on_segment, **kwargs,
+                on_segment=on_segment,
+                global_frequency=float(global_frequency), **extra,
             )
         else:
             res = run_aglmcmc(

@@ -218,13 +218,24 @@ def _shared_epoch_update(problem, cfg: AGLMCMCConfig, shared_support: int,
     return new_pools, kde, hat_eps
 
 
+@functools.lru_cache(maxsize=64)
+def make_shared_epoch_fn(problem, cfg: AGLMCMCConfig, shared_support: int):
+    """Jitted (and process-cached) shared-adaptation epoch — cached on
+    ``(problem, cfg, shared_support)`` so repeated driver calls reuse one
+    compiled executable instead of re-jitting per call."""
+    return jax.jit(functools.partial(_shared_epoch_update, problem, cfg,
+                                     shared_support))
+
+
+@functools.lru_cache(maxsize=64)
 def make_epoch_fn(problem, cfg: AGLMCMCConfig, num_chains: int,
                   epoch_chunk: int = 0):
     """Jitted per-chain adaptation epoch, batched over chains:
     ``(keys (C,2), pools, hat_eps (C,)) -> (pools, kdes, hat_eps)``.
     ``epoch_chunk > 0`` runs the chains in sequential ``lax.map`` chunks of
     that size (memory bound for 10^4+ chain runs).  Shared by the scan and
-    fused AGLMCMC drivers."""
+    fused AGLMCMC drivers; process-cached on its arguments so repeated
+    driver calls (benchmarks, test suites) hit one compiled epoch."""
     C = num_chains
     vmapped_epoch = jax.vmap(
         functools.partial(_epoch_update, problem, cfg), in_axes=(0, 0, 0)
@@ -393,10 +404,7 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                 problem, cfg, shared_support, mesh
             )
         else:
-            shared_epoch = jax.jit(
-                functools.partial(_shared_epoch_update, problem, cfg,
-                                  shared_support)
-            )
+            shared_epoch = make_shared_epoch_fn(problem, cfg, shared_support)
         epoch_fn = None
     else:
         epoch_fn = make_epoch_fn(problem, cfg, C, epoch_chunk)

@@ -11,35 +11,124 @@ reusing the *same* ``_epoch_update`` as the scan path
 (:func:`glabc_tpu.samplers.aglmcmc.run_aglmcmc`), which guarantees identical
 annealing/refit semantics.
 
-The driver is problem-agnostic: pool simulation and weighting happen on the
-XLA path (``_pool_from_proposals``), so any :class:`ABCProblem` works — not
-just the Mixture family.  For ``global_frequency < 1`` (local RW moves mixed
-in) use the scan path.
+The gf=1 driver is problem-agnostic: pool simulation and weighting happen on
+the XLA path (``_pool_from_proposals``), so any :class:`ABCProblem` works —
+not just the Mixture family.
+
+For ``global_frequency < 1`` (local RW moves mixed in, ``AGLMCMC.py:255-289``)
+the driver routes to :class:`~glabc_tpu.ops.pallas.pool_isir_mixed_kernel.PoolISIRMixed`,
+which fuses the per-chain coin, the Mixture-family local move, and the
+reference's per-global-move current-state proposal density
+(``KDE.log_prob(Theta_old)``, ``AGLMCMC.py:137-141``) against a VMEM-resident
+shared KDE.  That requires ``shared_adaptation`` semantics (one cross-chain
+KDE — its support fits on-chip; per-chain KDEs cannot) and a Mixture-family
+problem; other configurations stay on the scan path.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.pallas.mixture_kernel import fused_state_init
 from ..ops.pallas.pool_isir_kernel import (
     PoolISIR,
     pack_pool_logw,
     pack_pool_theta,
+)
+from ..ops.pallas.pool_isir_mixed_kernel import (
+    PoolISIRMixed,
+    resident_from_gaussian,
+    resident_from_kde,
 )
 from .aglmcmc import (
     AGLMCMCConfig,
     AGLResult,
     _pool_from_proposals,
     make_epoch_fn,
+    make_shared_epoch_fn,
 )
 from .base import MoveCounts
 from .chain import init_chain_carry
 
-__all__ = ["run_aglmcmc_fused"]
+__all__ = ["run_aglmcmc_fused", "run_aglmcmc_fused_mixed"]
 
 _SUB = 8
+
+
+# Driver helper factories are lru_cached on their STATIC configuration
+# (problem identity + shapes), with distributions/pools passed as traced
+# pytree arguments — so repeated driver calls (benchmarks, epochs, test
+# suites) reuse one compiled executable per helper instead of re-jitting
+# fresh closures every call (the kernels themselves are cached via
+# ConfigHashable on the kernel classes).
+
+@functools.lru_cache(maxsize=64)
+def _make_init_pools(problem, P: int, C: int):
+    @jax.jit
+    def init_pools(proposal, k):
+        def one(kk):
+            k1, k2 = jax.random.split(kk)
+            th, log_q = proposal.forward(k1, P)
+            return _pool_from_proposals(problem, k2, th, log_q)
+        return jax.vmap(one)(jax.random.split(k, C))
+    return init_pools
+
+
+@functools.lru_cache(maxsize=64)
+def _make_pack(T: int, B: int, d_pad: int, problem=None):
+    """Pool -> kernel-layout packer; with ``problem`` also packs the
+    datasets and target-epsilon kernel values (the mixed kernel's extra
+    streams)."""
+    if problem is None:
+        @jax.jit
+        def pack(pools_):
+            return (pack_pool_theta(pools_.theta, T, B, d_pad),
+                    pack_pool_logw(pools_.log_w, T, B))
+    else:
+        @jax.jit
+        def pack(pools_):
+            return (pack_pool_theta(pools_.theta, T, B, d_pad),
+                    pack_pool_theta(pools_.x, T, B, d_pad),
+                    pack_pool_logw(pools_.log_w, T, B),
+                    pack_pool_logw(
+                        problem.kernel_log_prob(pools_.dis), T, B))
+    return pack
+
+
+@functools.lru_cache(maxsize=64)
+def _make_gf1_helpers(problem, d: int, d_pad: int, C: int):
+    @jax.jit
+    def state_init(proposal, theta_cd, logk):
+        th = jnp.zeros((d_pad, C), jnp.float32).at[:d].set(theta_cd.T)
+        logw = (problem.prior_log_prob(theta_cd) + logk
+                - proposal.log_prob(theta_cd))[None, :]
+        return th, logw
+
+    @jax.jit
+    def logw_kde(kdes, theta_k, logk):
+        th = theta_k[:d].T                                       # (C, d)
+        logq = jax.vmap(lambda kde, x: kde.log_prob(x))(kdes, th)
+        return (problem.prior_log_prob(th) + logk - logq)[None, :]
+
+    @jax.jit
+    def resolve(pools_, sel, y_prev, logk_prev):
+        """Gather the last-selected candidate's dataset/kernel value from
+        the pool (the kernel records only the flat slot index)."""
+        s = sel[0]                                               # (C,)
+        idx = jnp.maximum(s, 0.0).astype(jnp.int32)
+        y_sel = jnp.take_along_axis(pools_.x, idx[:, None, None],
+                                    axis=1)[:, 0]
+        dis_sel = jnp.take_along_axis(pools_.dis, idx[:, None], axis=1)[:, 0]
+        logk_sel = problem.kernel_log_prob(dis_sel)
+        moved = s >= 0.0
+        return (jnp.where(moved[:, None], y_sel, y_prev),
+                jnp.where(moved, logk_sel, logk_prev))
+
+    return state_init, logw_kde, resolve
 
 
 def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
@@ -49,8 +138,16 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
                       block_chains: int = 1024, collect_history: bool = True,
                       y0=None, seed: int | None = None, epoch_chunk: int = 0,
                       on_segment=None, interpret: bool = False,
-                      mesh=None) -> AGLResult:
-    """AGLMCMC via the fused pool-iSIR Pallas kernel (gf = 1).
+                      mesh=None, global_frequency: float = 1.0,
+                      lp_scale: float = 0.35, shared_support: int = 4096,
+                      support_chunk: int = 512) -> AGLResult:
+    """AGLMCMC via the fused pool-iSIR Pallas kernels.
+
+    ``global_frequency < 1`` dispatches to
+    :func:`run_aglmcmc_fused_mixed` (per-chain coin + in-kernel Mixture
+    local move + resident shared-KDE proposal density; see that function
+    for its requirements); the remainder of this docstring describes the
+    canonical gf = 1 pool-iSIR path.
 
     Segments are ``step_size`` transitions (= one pool) per ``pallas_call``;
     between segments the per-chain adaptation epoch runs on the XLA path and
@@ -73,6 +170,16 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     per-device inside ``shard_map`` with tiled PRNG streams
     (:meth:`PoolISIR.make_sharded_run`).  Requires ``num_chains`` divisible
     by ``block_chains * mesh size``."""
+    if global_frequency < 1.0:
+        return run_aglmcmc_fused_mixed(
+            problem, key, num_ite, theta0, initial_isir_proposal,
+            global_frequency=global_frequency, batch_size=batch_size,
+            step_size=step_size, alpha=alpha, hat_eps_T=hat_eps_T,
+            oversample=oversample, num_chains=num_chains,
+            block_chains=block_chains, collect_history=collect_history,
+            y0=y0, seed=seed, on_segment=on_segment, interpret=interpret,
+            mesh=mesh, lp_scale=lp_scale, shared_support=shared_support,
+            support_chunk=support_chunk)
     d = problem.theta_dim
     d_pad = max(_SUB, ((d + _SUB - 1) // _SUB) * _SUB)
     T, B, C = int(step_size), int(batch_size), int(num_chains)
@@ -87,15 +194,7 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     k_chain, k_pool, k_loop = jax.random.split(key, 3)
     cc = init_chain_carry(problem, k_chain, theta0, y0, C)
 
-    @jax.jit
-    def init_pools(k):
-        def one(kk):
-            k1, k2 = jax.random.split(kk)
-            th, log_q = initial_isir_proposal.forward(k1, P)
-            return _pool_from_proposals(problem, k2, th, log_q)
-        return jax.vmap(one)(jax.random.split(k, C))
-
-    pools = init_pools(k_pool)
+    pools = _make_init_pools(problem, P, C)(initial_isir_proposal, k_pool)
 
     if mesh is not None:
         from jax.sharding import NamedSharding
@@ -116,40 +215,12 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     else:
         kern_run = kern.run
 
-    @jax.jit
-    def pack(pools_):
-        return (pack_pool_theta(pools_.theta, T, B, d_pad),
-                pack_pool_logw(pools_.log_w, T, B))
-
-    @jax.jit
-    def state_init(theta_cd, logk):
-        th = jnp.zeros((d_pad, C), jnp.float32).at[:d].set(theta_cd.T)
-        logw = (problem.prior_log_prob(theta_cd) + logk
-                - initial_isir_proposal.log_prob(theta_cd))[None, :]
-        return th, logw
-
-    @jax.jit
-    def logw_kde(kdes, theta_k, logk):
-        th = theta_k[:d].T                                       # (C, d)
-        logq = jax.vmap(lambda kde, x: kde.log_prob(x))(kdes, th)
-        return (problem.prior_log_prob(th) + logk - logq)[None, :]
-
-    @jax.jit
-    def resolve(pools_, sel, y_prev, logk_prev):
-        """Gather the last-selected candidate's dataset/kernel value from
-        the pool (the kernel records only the flat slot index)."""
-        s = sel[0]                                               # (C,)
-        idx = jnp.maximum(s, 0.0).astype(jnp.int32)
-        y_sel = jnp.take_along_axis(pools_.x, idx[:, None, None], axis=1)[:, 0]
-        dis_sel = jnp.take_along_axis(pools_.dis, idx[:, None], axis=1)[:, 0]
-        logk_sel = problem.kernel_log_prob(dis_sel)
-        moved = s >= 0.0
-        return (jnp.where(moved[:, None], y_sel, y_prev),
-                jnp.where(moved, logk_sel, logk_prev))
-
+    pack = _make_pack(T, B, d_pad)
+    state_init, logw_kde, resolve = _make_gf1_helpers(problem, d, d_pad, C)
     epoch_fn = make_epoch_fn(problem, cfg, C, epoch_chunk)
 
-    theta_k, logw_k = state_init(cc.theta, cc.log_kernel)
+    theta_k, logw_k = state_init(initial_isir_proposal, cc.theta,
+                                 cc.log_kernel)
     y_cur, logk = cc.y, cc.log_kernel
     theta_init_row = np.asarray(cc.theta)[:, None, :]
 
@@ -203,5 +274,169 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
         thetas=thetas, counts=counts,
         final_carry=(theta_k, y_cur, logk, logw_k),
         kde=kdes, hat_eps=np.asarray(hat_eps),
+        hat_eps_hist=np.asarray(hat_eps_hist) if hat_eps_hist else None,
+    )
+
+
+def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
+                            initial_isir_proposal, *,
+                            global_frequency: float, batch_size: int = 5,
+                            step_size: int = 200, alpha: float = 0.8,
+                            hat_eps_T: float = 0.2, oversample: int = 4,
+                            num_chains: int = 4096,
+                            block_chains: int = 1024,
+                            collect_history: bool = True, y0=None,
+                            seed: int | None = None, on_segment=None,
+                            interpret: bool = False, mesh=None,
+                            lp_scale: float = 0.35,
+                            shared_support: int = 4096,
+                            support_chunk: int = 512) -> AGLResult:
+    """AGLMCMC at ``global_frequency < 1`` via the fused
+    :class:`~glabc_tpu.ops.pallas.pool_isir_mixed_kernel.PoolISIRMixed`
+    kernel (per-chain coin, in-kernel Mixture local RW move, in-kernel
+    current-state proposal density; reference ``AGLMCMC.py:124-289``).
+
+    Requirements (falls back is NOT automatic — a clear error is raised):
+
+    * Mixture-family problem (``problem._noise_std`` set: simulator
+      ``y = |theta| + sigma z``, standard-normal prior, Euclidean
+      discrepancy, Gaussian epsilon-kernel) — the local move is fused;
+    * shared (cross-chain) adaptation: one epsilon quantile over all pools
+      and ONE ``shared_support``-point KDE per epoch
+      (:func:`glabc_tpu.samplers.aglmcmc._shared_epoch_update`), because
+      only a shared KDE support fits in VMEM for the in-kernel density.
+      Per-chain adaptation at gf<1 stays on the scan path
+      (:func:`glabc_tpu.samplers.aglmcmc.run_aglmcmc`).
+
+    Pool cadence is slice-per-step (one slice per *transition*, consumed
+    only on global coins — unconsumed slices are skipped; see the kernel
+    module docstring for why this is statistically exact), so segments are
+    ``seg_len = round(step_size / gf)`` steps with ``seg_len * batch_size``
+    pool draws per epoch, and the epoch trains on the full pool exactly
+    like the reference (``AGLMCMC.py:199-204``).
+
+    ``initial_isir_proposal`` must be a diagonal Gaussian (reference
+    ``MCMCRunner.py:66``): its density is evaluated in-kernel for the first
+    epoch (``AGLMCMC.py:137-138``).
+    """
+    d = problem.theta_dim
+    sigma = getattr(problem, "_noise_std", None)
+    if sigma is None:
+        raise ValueError(
+            "run_aglmcmc_fused_mixed needs a Mixture-family problem (with "
+            "a Gaussian simulator noise scale) for the in-kernel local "
+            "move; use run_aglmcmc (scan) for arbitrary problems")
+    if problem.y_dim != d:
+        raise ValueError("Mixture-family kernels require y_dim == theta_dim")
+    loc = getattr(initial_isir_proposal, "loc", None)
+    log_scale = getattr(initial_isir_proposal, "log_scale", None)
+    if loc is None or log_scale is None:
+        raise ValueError(
+            "initial_isir_proposal must be a DiagGaussian (loc/log_scale) "
+            "— its density is evaluated in-kernel for the first epoch")
+
+    gf = float(global_frequency)
+    B, C = int(batch_size), int(num_chains)
+    seg_len = max(1, int(round(step_size / gf)))
+    P = seg_len * B
+    # cfg.pool_slices == seg_len so the shared epoch redraws P = seg_len*B
+    cfg = AGLMCMCConfig(gf, B, step_size, alpha, hat_eps_T, oversample, 0,
+                        seg_len - step_size)
+
+    kern = PoolISIRMixed(
+        d, problem.y_obs, epsilon=problem.epsilon, sigma=sigma,
+        global_frequency=gf, batch_size=B, steps_per_call=seg_len,
+        lp_scale=lp_scale, block_chains=block_chains,
+        n_support=shared_support, support_chunk=support_chunk,
+        collect_history=collect_history, interpret=interpret)
+    d_pad = kern.d_pad
+
+    key = jnp.asarray(key)
+    k_chain, k_pool, k_loop = jax.random.split(key, 3)
+    theta_k, y_k, logk_k = fused_state_init(problem, k_chain, theta0, C,
+                                            d_pad, y0=y0)
+    theta_init_row = np.asarray(theta_k)[:d, :].T[:, None, :]  # (C, 1, d)
+
+    pools = _make_init_pools(problem, P, C)(initial_isir_proposal, k_pool)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PS
+
+        from ..parallel.mesh import CHAIN_AXIS
+        from ..parallel.sharded import make_sharded_shared_epoch
+        n_dev = mesh.devices.size
+        assert C % (block_chains * n_dev) == 0, (
+            f"num_chains must divide by {block_chains * n_dev}")
+        chain_sh = NamedSharding(mesh, PS(CHAIN_AXIS))
+        pools = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, chain_sh), pools)
+        col_sh = NamedSharding(mesh, PS(None, CHAIN_AXIS))
+        theta_k, y_k, logk_k = (jax.device_put(x, col_sh)
+                                for x in (theta_k, y_k, logk_k))
+        kern_run = kern.make_sharded_run(mesh)
+        epoch_fn = make_sharded_shared_epoch(problem, cfg, shared_support,
+                                             mesh)
+    else:
+        kern_run = kern.run
+        epoch_fn = make_shared_epoch_fn(problem, cfg, shared_support)
+
+    pack = _make_pack(seg_len, B, d_pad, problem)
+
+    resident = resident_from_gaussian(
+        loc, jnp.exp(jnp.asarray(log_scale)), d_pad, kern.n_pad)
+
+    if seed is None:
+        seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
+                                      0, 2**31 - 1))
+
+    hat_eps = jnp.float32(1.0e6)
+    hat_eps_hist: list[np.ndarray] = []
+    blocks: list[np.ndarray] = []
+    g_att = np.zeros((C,), np.float64)
+    g_acc = np.zeros((C,), np.float64)
+    l_acc = np.zeros((C,), np.float64)
+    kde = None
+    done, steps_run, ep = 0, 0, 0
+    total = num_ite - 1
+    packed = pack(pools)
+    while done < total:
+        take = min(seg_len, total - done)
+        theta_k, y_k, logk_k, gatt, gacc, lacc, hist = kern_run(
+            np.int32((seed + ep) % (2**31 - 1)), resident, *packed,
+            theta_k, y_k, logk_k,
+        )
+        if collect_history:
+            block = np.moveaxis(np.asarray(hist)[:take, :d, :], 2, 0)
+            if on_segment is not None:
+                on_segment(block, done)
+            blocks.append(block)
+        frac = take / seg_len
+        g_att += np.asarray(gatt)[0] * frac
+        g_acc += np.asarray(gacc)[0] * frac
+        l_acc += np.asarray(lacc)[0] * frac
+        steps_run += take
+        done += take
+        if done < total:
+            k_loop, k_ep = jax.random.split(k_loop)
+            pools, kde, hat_eps = epoch_fn(k_ep, pools, hat_eps)
+            hat_eps_hist.append(np.asarray(hat_eps))
+            ep += 1
+            packed = pack(pools)
+            resident = resident_from_kde(kde, d_pad, kern.n_pad)
+
+    thetas = (np.concatenate([theta_init_row] + blocks, axis=1)
+              if collect_history else theta_init_row)
+    g_att_i = np.rint(g_att).astype(np.int32)
+    counts = MoveCounts(
+        global_attempts=g_att_i,
+        global_accepts=np.rint(g_acc).astype(np.int32),
+        local_attempts=(steps_run - g_att_i).astype(np.int32),
+        local_accepts=np.rint(l_acc).astype(np.int32),
+    )
+    return AGLResult(
+        thetas=thetas, counts=counts,
+        final_carry=(theta_k, y_k, logk_k),
+        kde=kde, hat_eps=np.asarray(hat_eps),
         hat_eps_hist=np.asarray(hat_eps_hist) if hat_eps_hist else None,
     )

@@ -241,13 +241,20 @@ class TestRunnerFacade:
         assert csv.shape == (13, 2)
         np.testing.assert_allclose(csv, ch[0], rtol=1e-6, atol=1e-7)
 
-    def test_fused_method_rejects_gf_lt_1(self, tmp_path):
+    def test_fused_method_gf_lt_1_rejects_non_mixture(self, tmp_path):
+        """gf<1 routes to the mixed kernel (tests/test_aglmcmc_mixed.py),
+        which needs a Mixture-family problem for its in-kernel local move —
+        non-Mixture problems get a clear error pointing at the scan path."""
         from glabc_tpu import MCMCRunner
+        from glabc_tpu.models.problems import GKProblem
 
-        runner = MCMCRunner(PROB, output_dir=str(tmp_path), num_chains=128,
+        gk = GKProblem()
+        runner = MCMCRunner(gk, output_dir=str(tmp_path), num_chains=128,
                             verbose=False)
-        with pytest.raises(ValueError, match="global_frequency"):
-            runner.run_aglmcmc(13, jnp.zeros(2), None, 0.5, LP, IP,
+        with pytest.raises(ValueError, match="Mixture-family"):
+            runner.run_aglmcmc(13, jnp.zeros(4), None, 0.5,
+                               DiagGaussian.create(4),
+                               DiagGaussian.create(4),
                                batch_size=3, step_size=4, alpha=0.8,
                                hat_eps_T=0.2, method="fused")
 

@@ -1,0 +1,302 @@
+"""Fused AGLMCMC at gf<1 (PoolISIRMixed): CPU plumbing + TPU parity tests.
+
+Interpret-mode semantics (stubbed PRNG = all-zero bits): the per-step coin
+``u ~ 3e-8 < gf`` always lands GLOBAL, Gumbel perturbations are an all-equal
+constant (selection degenerates to first-max argmax over
+``[current] + candidates``), and the local branch is never taken — so the
+CPU tests exercise the in-kernel resident-KDE density, the pool streaming,
+and the y/logk carries deterministically.  The local move and the
+coin mixture are validated statistically on hardware (``GLABC_TPU_TESTS=1``).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glabc_tpu import DiagGaussian, MixtureProblem
+from glabc_tpu.models.kde import KernelDensity
+from glabc_tpu.ops.pallas.pool_isir_kernel import (
+    pack_pool_logw,
+    pack_pool_theta,
+)
+from glabc_tpu.ops.pallas.pool_isir_mixed_kernel import (
+    PoolISIRMixed,
+    resident_from_gaussian,
+    resident_from_kde,
+)
+from glabc_tpu.samplers.aglmcmc_fused import (
+    run_aglmcmc_fused,
+    run_aglmcmc_fused_mixed,
+)
+
+PROB = MixtureProblem(0.05)
+IP = DiagGaussian.create(2, 0.0, 0.0)
+LP = DiagGaussian.create(2, 0.0, float(jnp.log(0.35)))
+KEY = jax.random.PRNGKey(0)
+
+ON_TPU = jax.devices()[0].platform == "tpu"
+
+
+def _resident_logq_np(res, theta):
+    """f64 numpy reconstruction of the resident-proposal log-density
+    (theta: (C, d_pad))."""
+    mu = np.asarray(res.mu_scaled, np.float64)      # (n_pad, d_pad)
+    pre = np.asarray(res.pre, np.float64)[:, 0]     # (n_pad,)
+    inv2h = np.asarray(res.inv2h, np.float64)[:, 0]  # (d_pad,)
+    scores = theta @ mu.T + pre[None, :]            # (C, n_pad)
+    m = scores.max(axis=1)
+    lse = m + np.log(np.exp(scores - m[:, None]).sum(axis=1))
+    return lse - 0.5 * (theta * theta * inv2h[None, :]).sum(axis=1)
+
+
+class TestResidentProposal:
+    def test_kde_parameterization_matches_log_prob(self):
+        """resident_from_kde must encode EXACTLY KernelDensity.log_prob
+        (incl. the log(w + 1e-10) stabilizer, kernel_density.py:125)."""
+        rng = np.random.RandomState(0)
+        X = rng.randn(37, 2).astype(np.float32)
+        w = rng.rand(37).astype(np.float32)
+        w[5] = 0.0  # a masked row
+        kde = KernelDensity.fit(jnp.asarray(X), jnp.asarray(w))
+        res = resident_from_kde(kde, d_pad=8, n_pad=64)
+        pts = rng.randn(50, 2).astype(np.float32)
+        expect = np.asarray(kde.log_prob(jnp.asarray(pts)))
+        got = _resident_logq_np(
+            res, np.pad(pts, ((0, 0), (0, 6))).astype(np.float64))
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+    def test_gaussian_parameterization_matches_log_prob(self):
+        dg = DiagGaussian.create(2, 0.7, float(np.log(1.3)))
+        res = resident_from_gaussian(dg.loc, jnp.exp(dg.log_scale),
+                                     d_pad=8, n_pad=8)
+        rng = np.random.RandomState(1)
+        pts = rng.randn(20, 2).astype(np.float32)
+        expect = np.asarray(dg.log_prob(jnp.asarray(pts)))
+        got = _resident_logq_np(
+            res, np.pad(pts, ((0, 0), (0, 6))).astype(np.float64))
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
+class TestMixedKernelOracle:
+    """Raw kernel vs numpy replay (interpret mode: always global, first-max
+    argmax).  Unlike the gf=1 kernel, the current state's log-weight is
+    recomputed in-kernel each step from the resident proposal — the replay
+    recomputes it in f64 from the same parameterization, so this validates
+    the in-kernel matmul+logsumexp against an independent implementation."""
+
+    def test_matches_numpy_replay(self):
+        rng = np.random.RandomState(7)
+        d, B, T, C = 2, 3, 6, 128
+        d_pad = 8
+        P = T * B
+        # resident = a small KDE (single chunk)
+        kde = KernelDensity.fit(jnp.asarray(rng.randn(24, d), jnp.float32))
+        resident = resident_from_kde(kde, d_pad, n_pad=32)
+
+        pool_theta = rng.randn(C, P, d).astype(np.float32)
+        pool_x = rng.randn(C, P, d).astype(np.float32)
+        # coarse-grid log-weights keep every selection decision's margin
+        # far above the in-kernel f32 logsumexp error (~1e-6)
+        pool_logw = np.round(rng.randn(C, P), 1).astype(np.float32)
+        pool_logk = rng.randn(C, P).astype(np.float32)
+        theta0 = rng.randn(C, d).astype(np.float32)
+        y0 = rng.randn(C, d).astype(np.float32)
+        logk0 = rng.randn(C).astype(np.float32)
+
+        kern = PoolISIRMixed(
+            d, PROB.y_obs, epsilon=PROB.epsilon, sigma=PROB._noise_std,
+            global_frequency=0.5, batch_size=B, steps_per_call=T,
+            block_chains=128, n_support=32, support_chunk=32,
+            collect_history=True, interpret=True)
+        pt = pack_pool_theta(jnp.asarray(pool_theta), T, B, d_pad)
+        px = pack_pool_theta(jnp.asarray(pool_x), T, B, d_pad)
+        pw = pack_pool_logw(jnp.asarray(pool_logw), T, B)
+        pk = pack_pool_logw(jnp.asarray(pool_logk), T, B)
+        th_k = jnp.zeros((d_pad, C), jnp.float32).at[:d].set(
+            jnp.asarray(theta0).T)
+        y_k = jnp.zeros((d_pad, C), jnp.float32).at[:d].set(
+            jnp.asarray(y0).T)
+        out = kern.run(np.int32(5), resident, pt, px, pw, pk, th_k, y_k,
+                       jnp.asarray(logk0)[None])
+        th_out, y_out, logk_out, gatt, gacc, lacc, hist = out
+
+        # f64 replay
+        exp_theta = theta0.astype(np.float64).copy()
+        exp_y = y0.astype(np.float64).copy()
+        exp_logk = logk0.astype(np.float64).copy()
+        exp_gacc = np.zeros((C,))
+        exp_hist = np.zeros((T, C, d))
+        prior_lp = lambda th: (-0.5 * d * np.log(2 * np.pi)  # noqa: E731
+                               - 0.5 * (th * th).sum(-1))
+        for t in range(T):
+            pad = np.zeros((C, d_pad))
+            pad[:, :d] = exp_theta
+            logq = _resident_logq_np(resident, pad)
+            cur_logw = prior_lp(exp_theta) + exp_logk - logq
+            for c in range(C):
+                sl = slice(t * B, (t + 1) * B)
+                allw = np.concatenate([[cur_logw[c]], pool_logw[c, sl]])
+                ind = int(np.argmax(allw))
+                if ind > 0:
+                    slot = t * B + ind - 1
+                    exp_theta[c] = pool_theta[c, slot]
+                    exp_y[c] = pool_x[c, slot]
+                    exp_logk[c] = pool_logk[c, slot]
+                    exp_gacc[c] += 1.0
+                exp_hist[t, c] = exp_theta[c]
+
+        np.testing.assert_allclose(np.asarray(th_out)[:d].T, exp_theta,
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(y_out)[:d].T, exp_y,
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(logk_out)[0], exp_logk,
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(gatt)[0], np.full(C, T))
+        np.testing.assert_array_equal(np.asarray(gacc)[0], exp_gacc)
+        np.testing.assert_array_equal(np.asarray(lacc)[0], np.zeros(C))
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(hist)[:, :d, :], 2, 1), exp_hist,
+            rtol=1e-6, atol=1e-6)
+
+    def test_selection_margin_around_current_weight(self):
+        """Candidates δ above/below the current state's TRUE log-weight
+        (computed via KernelDensity.log_prob on the XLA path) must
+        win/lose the degenerate argmax — a direct oracle for the in-kernel
+        resident density value."""
+        d, B, T, C = 2, 1, 1, 128
+        d_pad = 8
+        rng = np.random.RandomState(2)
+        kde = KernelDensity.fit(jnp.asarray(rng.randn(40, d), jnp.float32))
+        resident = resident_from_kde(kde, d_pad, n_pad=64)
+        theta0 = rng.randn(C, d).astype(np.float32)
+        logk0 = rng.randn(C).astype(np.float32)
+        cur_logw = (np.asarray(PROB.prior_log_prob(jnp.asarray(theta0)))
+                    + logk0 - np.asarray(kde.log_prob(jnp.asarray(theta0))))
+        delta = np.where(np.arange(C) % 2 == 0, 1e-2, -1e-2)
+        pool_logw = (cur_logw + delta).astype(np.float32)[:, None]
+        pool_theta = rng.randn(C, 1, d).astype(np.float32)
+
+        kern = PoolISIRMixed(
+            d, PROB.y_obs, epsilon=PROB.epsilon, sigma=PROB._noise_std,
+            global_frequency=0.5, batch_size=B, steps_per_call=T,
+            block_chains=128, n_support=64, support_chunk=64,
+            collect_history=False, interpret=True)
+        th_k = jnp.zeros((d_pad, C), jnp.float32).at[:d].set(
+            jnp.asarray(theta0).T)
+        out = kern.run(
+            np.int32(0), resident,
+            pack_pool_theta(jnp.asarray(pool_theta), T, B, d_pad),
+            pack_pool_theta(jnp.asarray(pool_theta), T, B, d_pad),
+            pack_pool_logw(jnp.asarray(pool_logw), T, B),
+            pack_pool_logw(jnp.asarray(pool_logw), T, B),
+            th_k, th_k, jnp.asarray(logk0)[None])
+        moved = np.asarray(out[4])[0]  # gacc
+        np.testing.assert_array_equal(moved, (delta > 0).astype(np.float32))
+
+
+class TestMixedDriver:
+    def test_runs_and_shapes(self):
+        res = run_aglmcmc_fused(
+            PROB, KEY, 81, jnp.zeros(2), IP, global_frequency=0.5,
+            step_size=20, num_chains=256, block_chains=256,
+            shared_support=64, support_chunk=64, seed=0, interpret=True)
+        assert res.thetas.shape == (256, 81, 2)
+        assert np.all(np.isfinite(res.thetas))
+        # interpret mode: every coin global
+        assert int(res.counts.global_attempts[0]) == 80
+        assert int(res.counts.local_attempts[0]) == 0
+        # epochs ran and annealed
+        assert res.hat_eps_hist is not None and res.hat_eps_hist.shape[0] == 1
+        assert float(res.hat_eps) < 1.0e6
+        assert res.kde is not None
+
+    def test_rejects_non_mixture_problem(self):
+        from glabc_tpu.models.problems import GKProblem
+
+        with pytest.raises(ValueError, match="Mixture-family"):
+            run_aglmcmc_fused_mixed(
+                GKProblem(), KEY, 11, jnp.zeros(4), DiagGaussian.create(4),
+                global_frequency=0.5, step_size=5, num_chains=128)
+
+    def test_sharded_matches_unsharded(self):
+        from glabc_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh (conftest)")
+        kw = dict(global_frequency=0.5, batch_size=3, step_size=4,
+                  num_chains=1024, block_chains=128, shared_support=64,
+                  support_chunk=64, seed=0, interpret=True)
+        res = run_aglmcmc_fused(PROB, KEY, 17, jnp.zeros(2), IP, **kw)
+        res_m = run_aglmcmc_fused(PROB, KEY, 17, jnp.zeros(2), IP,
+                                  mesh=make_mesh(8), **kw)
+        # the first segment precedes any epoch: identical pools + resident
+        # + deterministic interpret-mode selection => kernel sharding must
+        # be EXACT.  After the first epoch the sharded run uses the
+        # distributed shared-epoch path (collective quantile/resampling —
+        # a different but equivalent numerical path, see
+        # make_sharded_shared_epoch), so later segments are checked for
+        # sanity, not equality (same convention as
+        # tests/test_parallel.py::test_run_aglmcmc_with_mesh_shared_adaptation).
+        seg = 8  # round(4 / 0.5)
+        np.testing.assert_array_equal(res.thetas[:, :seg + 1],
+                                      res_m.thetas[:, :seg + 1])
+        assert np.all(np.isfinite(res_m.thetas))
+        assert float(res_m.hat_eps) < 1.0e6
+
+    def test_runner_facade_routes_gf_lt_1(self, tmp_path):
+        from glabc_tpu import MCMCRunner
+
+        runner = MCMCRunner(PROB, output_dir=str(tmp_path), num_chains=128,
+                            verbose=False)
+        ch = runner.run_aglmcmc(13, jnp.zeros(2), None, 0.5, LP, IP,
+                                batch_size=3, step_size=4, alpha=0.8,
+                                hat_eps_T=0.2, method="fused",
+                                block_chains=128, shared_support=64,
+                                support_chunk=64, seed=0, interpret=True)
+        assert ch.shape == (128, 13, 2)
+        csv = np.loadtxt(tmp_path / "aglmcmc_results.csv", delimiter=",")
+        assert csv.shape == (13, 2)
+
+
+@pytest.mark.skipif(
+    not (ON_TPU or os.environ.get("GLABC_TPU_TESTS")),
+    reason="fused Pallas kernel needs a real TPU (interpret-mode PRNG is stubbed)",
+)
+class TestTPUParity:
+    def test_posterior_and_rates_parity_vs_scan_shared(self):
+        """Mixed fused (gf=0.5) vs the scan path with shared_adaptation:
+        same posterior moments, same global/local acceptance rates, same
+        annealing — the two paths share the epoch machinery but compute
+        the transitions completely differently (in-kernel resident KDE +
+        fused local move vs per-step XLA KDE.log_prob + lax.cond)."""
+        from glabc_tpu.samplers.aglmcmc import run_aglmcmc
+
+        num_ite, C = 2401, 512
+        res_f = run_aglmcmc_fused(
+            PROB, KEY, num_ite, jnp.zeros(2), IP, global_frequency=0.5,
+            batch_size=5, step_size=200, num_chains=C, block_chains=256,
+            shared_support=1024)
+        res_s = run_aglmcmc(
+            PROB, jax.random.PRNGKey(1), num_ite, jnp.zeros(2), LP, IP,
+            global_frequency=0.5, batch_size=5, step_size=200,
+            num_chains=128, shared_adaptation=True, shared_support=1024)
+        burn = 800
+        a_f = np.abs(res_f.thetas[:, burn:, :]).mean(axis=(0, 1))
+        a_s = np.abs(res_s.thetas[:, burn:, :]).mean(axis=(0, 1))
+        np.testing.assert_allclose(a_f, a_s, atol=0.08)
+        for kind in ("global", "local"):
+            att_f = np.asarray(getattr(res_f.counts, f"{kind}_attempts"))
+            acc_f = np.asarray(getattr(res_f.counts, f"{kind}_accepts"))
+            att_s = np.asarray(getattr(res_s.counts, f"{kind}_attempts"))
+            acc_s = np.asarray(getattr(res_s.counts, f"{kind}_accepts"))
+            r_f = acc_f.sum() / max(att_f.sum(), 1)
+            r_s = acc_s.sum() / max(att_s.sum(), 1)
+            assert abs(r_f - r_s) < 0.08, (kind, r_f, r_s)
+        # coin rate ~ gf
+        frac_g = (np.asarray(res_f.counts.global_attempts).sum()
+                  / (C * (num_ite - 1)))
+        assert abs(frac_g - 0.5) < 0.02, frac_g
+        assert float(res_f.hat_eps) < 1.0

@@ -125,6 +125,45 @@ def test_sharded_pool_isir_kernel_has_zero_collectives(mesh):
         f"{_collectives_in(compiled)}")
 
 
+def test_sharded_pool_isir_mixed_kernel_has_zero_collectives(mesh):
+    """Same property for the gf<1 mixed kernel: the resident shared-KDE
+    proposal is replicated, everything else is chain-sharded, and the
+    per-chain coin / local move / in-kernel density are chain-elementwise."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from glabc_tpu.models.kde import KernelDensity
+    from glabc_tpu.ops.pallas.pool_isir_kernel import (
+        pack_pool_logw, pack_pool_theta)
+    from glabc_tpu.ops.pallas.pool_isir_mixed_kernel import (
+        PoolISIRMixed, resident_from_kde)
+    from glabc_tpu.parallel.mesh import CHAIN_AXIS
+
+    d, B, T, C = 2, 3, 4, 1024
+    kern = PoolISIRMixed(d, [1.5, 1.5], epsilon=0.05, sigma=0.22,
+                         global_frequency=0.5, batch_size=B,
+                         steps_per_call=T, block_chains=128, n_support=32,
+                         support_chunk=32, collect_history=True,
+                         interpret=True)
+    kde = KernelDensity.fit(jnp.zeros((32, d)) + jnp.arange(32)[:, None])
+    resident = resident_from_kde(kde, 8, kern.n_pad)
+    pt = pack_pool_theta(jnp.zeros((C, T * B, d)), T, B, 8)
+    pw = pack_pool_logw(jnp.zeros((C, T * B)), T, B)
+    th = jnp.zeros((8, C))
+    lk = jnp.zeros((1, C))
+    row = NamedSharding(mesh, P(None, CHAIN_AXIS))
+    pool4 = NamedSharding(mesh, P(None, None, None, CHAIN_AXIS))
+    pool3 = NamedSharding(mesh, P(None, None, CHAIN_AXIS))
+    pt = jax.device_put(pt, pool4)
+    pw = jax.device_put(pw, pool3)
+    th, lk = jax.device_put(th, row), jax.device_put(lk, row)
+    run = kern.make_sharded_run(mesh)
+    compiled = run.lower(jnp.int32(1), resident, pt, pt, pw, pw,
+                         th, th, lk).compile()
+    assert not _collectives_in(compiled), (
+        f"sharded pool-iSIR-mixed kernel compiled with collectives: "
+        f"{_collectives_in(compiled)}")
+
+
 def test_adaptation_epoch_does_use_collectives(mesh):
     """Sanity: the sharded adaptation epoch IS the place collectives live
     (pooled refits / global quantiles) — assert they are present there, so
