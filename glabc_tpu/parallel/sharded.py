@@ -33,7 +33,7 @@ import optax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..ops.resampling import systematic_resample
+from ..ops.resampling import stable_partition_indices, systematic_resample
 from .mesh import CHAIN_AXIS, shard_chains
 
 __all__ = [
@@ -258,7 +258,7 @@ def make_sharded_shared_epoch(problem, cfg, shared_support: int, mesh):
             k_s, k_x = jax.random.split(kk)
             cand = kde.sample(k_s, cfg.oversample * P_pool)
             ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
-            order = jnp.argsort(~ok, stable=True)
+            order = stable_partition_indices(ok)
             new_theta = cand[order[:P_pool]]
             new_log_q = kde.log_prob(new_theta)
             return _pool_from_proposals(problem, k_x, new_theta, new_log_q)

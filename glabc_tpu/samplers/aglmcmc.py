@@ -36,8 +36,9 @@ TPU-first redesign:
   ``tests/test_aglmcmc_cadence.py`` bounds statistically against an
   exact-consumption oracle at gf=0.5;
 * the reference's dynamic "keep first N valid KDE samples" gather
-  (``AGLMCMC.py:220-229``) becomes a stable argsort on the invalid mask —
-  fixed shapes, valid rows first;
+  (``AGLMCMC.py:220-229``) becomes a stable valid-rows-first permutation
+  (linear cumsum+scatter, :func:`glabc_tpu.ops.resampling.stable_partition_indices`)
+  — fixed shapes, no TPU sort;
 * NaN discrepancies are masked to ``1e6 - 5`` *per element* — the
   reference's ``torch.all``-reduced mask (``AGLMCMC.py:100``) is a scalar
   no-op unless every entry is NaN (SURVEY quirk 2);
@@ -60,7 +61,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.kde import KernelDensity
-from ..ops.resampling import categorical_from_log_weights, systematic_resample
+from ..ops.resampling import (
+    categorical_from_log_weights,
+    stable_partition_indices,
+    systematic_resample,
+)
 from .base import MoveCounts, SamplerResult, StepOut, local_rw_move
 from .chain import init_chain_carry
 
@@ -160,7 +165,7 @@ def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps):
     # (4) oversampled redraw + prior-support filter (:220-229)
     cand = kde.sample(k_sample, cfg.oversample * P)
     ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
-    order = jnp.argsort(~ok, stable=True)          # valid rows first
+    order = stable_partition_indices(ok)          # valid rows first
     new_theta = cand[order[:P]]
     new_log_q = kde.log_prob(new_theta)
     new_pool = _pool_from_proposals(problem, k_sim, new_theta, new_log_q)
@@ -208,7 +213,7 @@ def _shared_epoch_update(problem, cfg: AGLMCMCConfig, shared_support: int,
         k_s, k_x = jax.random.split(kk)
         cand = kde.sample(k_s, cfg.oversample * P)
         ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
-        order = jnp.argsort(~ok, stable=True)
+        order = stable_partition_indices(ok)
         new_theta = cand[order[:P]]
         new_log_q = kde.log_prob(new_theta)
         return _pool_from_proposals(problem, k_x, new_theta, new_log_q)

@@ -66,6 +66,33 @@ _SUB = 8
 # fresh closures every call (the kernels themselves are cached via
 # ConfigHashable on the kernel classes).
 
+class _AsyncBlocks:
+    """Deferred device->host history gather.
+
+    ``np.asarray(hist)`` right after a segment blocks the host on the
+    device->host copy BEFORE the next segment is even dispatched, serializing
+    transfer and compute.  Instead, start a non-blocking copy per segment
+    (``copy_to_host_async``) and materialize all blocks once at the end —
+    the device runs segment ``k+1`` while segment ``k``'s history streams
+    out.  Used whenever no ``on_segment`` callback demands synchronous
+    blocks."""
+
+    def __init__(self, d: int):
+        self._d = d
+        self._pending: list = []
+
+    def add(self, hist_dev, take: int) -> None:
+        try:
+            hist_dev.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass  # multi-device arrays: np.asarray below still works
+        self._pending.append((hist_dev, take))
+
+    def blocks(self) -> list:
+        return [np.moveaxis(np.asarray(h)[:take, :self._d, :], 2, 0)
+                for h, take in self._pending]
+
+
 @functools.lru_cache(maxsize=64)
 def _make_init_pools(problem, P: int, C: int):
     @jax.jit
@@ -231,6 +258,7 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     hat_eps = jnp.full((C,), 1.0e6, jnp.float32)
     hat_eps_hist: list[np.ndarray] = []
     blocks: list[np.ndarray] = []
+    async_blocks = _AsyncBlocks(d)
     g_acc = np.zeros((C,), np.float64)
     kdes = None
     done, steps_run, ep = 0, 0, 0
@@ -243,10 +271,12 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
             theta_k, logw_k,
         )
         if collect_history:
-            block = np.moveaxis(np.asarray(hist)[:take, :d, :], 2, 0)
             if on_segment is not None:
+                block = np.moveaxis(np.asarray(hist)[:take, :d, :], 2, 0)
                 on_segment(block, done)
-            blocks.append(block)
+                blocks.append(block)
+            else:
+                async_blocks.add(hist, take)
         y_cur, logk = resolve(pools, sel, y_cur, logk)
         g_acc += np.asarray(moved)[0] * (take / T)
         steps_run += take
@@ -261,6 +291,8 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
             ptheta, plogw = pack(pools)
             logw_k = logw_kde(kdes, theta_k, logk)
 
+    if collect_history and on_segment is None:
+        blocks = async_blocks.blocks()
     thetas = (np.concatenate([theta_init_row] + blocks, axis=1)
               if collect_history else theta_init_row)
     att = np.full((C,), steps_run, np.int32)
@@ -393,6 +425,7 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
     hat_eps = jnp.float32(1.0e6)
     hat_eps_hist: list[np.ndarray] = []
     blocks: list[np.ndarray] = []
+    async_blocks = _AsyncBlocks(d)
     g_att = np.zeros((C,), np.float64)
     g_acc = np.zeros((C,), np.float64)
     l_acc = np.zeros((C,), np.float64)
@@ -407,10 +440,12 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
             theta_k, y_k, logk_k,
         )
         if collect_history:
-            block = np.moveaxis(np.asarray(hist)[:take, :d, :], 2, 0)
             if on_segment is not None:
+                block = np.moveaxis(np.asarray(hist)[:take, :d, :], 2, 0)
                 on_segment(block, done)
-            blocks.append(block)
+                blocks.append(block)
+            else:
+                async_blocks.add(hist, take)
         frac = take / seg_len
         g_att += np.asarray(gatt)[0] * frac
         g_acc += np.asarray(gacc)[0] * frac
@@ -425,6 +460,8 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
             packed = pack(pools)
             resident = resident_from_kde(kde, d_pad, kern.n_pad)
 
+    if collect_history and on_segment is None:
+        blocks = async_blocks.blocks()
     thetas = (np.concatenate([theta_init_row] + blocks, axis=1)
               if collect_history else theta_init_row)
     g_att_i = np.rint(g_att).astype(np.int32)

@@ -200,3 +200,15 @@ class TestRhat:
         assert s.rhat is not None and "R-hat" in s.render()
         s1 = stats.chain_summary(chains[:1], with_rhat=True)
         assert s1.rhat is None  # single chain: silently omitted
+
+
+def test_stable_partition_indices_matches_argsort():
+    from glabc_tpu.ops.resampling import stable_partition_indices
+
+    rng = np.random.RandomState(0)
+    for n in (1, 7, 64, 1000):
+        for p in (0.0, 0.3, 1.0):
+            ok = jnp.asarray(rng.rand(n) < p)
+            got = np.asarray(stable_partition_indices(ok))
+            want = np.asarray(jnp.argsort(~ok, stable=True))
+            np.testing.assert_array_equal(got, want)
