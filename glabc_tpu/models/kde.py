@@ -136,8 +136,15 @@ class KernelDensity:
         k_idx, k_noise = jax.random.split(key)
         cdf = jnp.cumsum(self.weights)
         u = jax.random.uniform(k_idx, (num_samples,)) * cdf[-1]
-        idx = jnp.clip(jnp.searchsorted(cdf, u, side="right"),
-                       0, self.n_samples - 1)
+        # inverse-CDF via compare-and-count rather than binary search:
+        # idx = #{i : cdf_i <= u}.  searchsorted's default binary search
+        # lowers to log2(n) rounds of batched gathers, which dominate the
+        # vmapped AGLMCMC adaptation epoch on TPU (~470 ms per 1024 chains
+        # at 4000 draws x 1000 support); the compare matrix fuses into a
+        # VPU compare+row-sum with no gathers (~few ms).
+        idx = jnp.clip(
+            jnp.searchsorted(cdf, u, side="right", method="compare_all"),
+            0, self.n_samples - 1)
         noise = jax.random.normal(k_noise, (num_samples, self.dim)) * self.bandwidth
         return self.X[idx] + noise
 

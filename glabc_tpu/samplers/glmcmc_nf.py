@@ -75,8 +75,11 @@ class GLMCMCNFConfig:
     train_iters_per_epoch: int = 1
 
 
+@functools.lru_cache(maxsize=64)
 def make_optimizer(cfg: GLMCMCNFConfig):
-    """torch-style Adam with L2-coupled weight decay."""
+    """torch-style Adam with L2-coupled weight decay.  Process-cached on the
+    config so the optimizer object (and anything jit-cached against its
+    identity) is stable across driver calls."""
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(),

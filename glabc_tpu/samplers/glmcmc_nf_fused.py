@@ -68,6 +68,7 @@ _SUB = 8
 
 
 # --------------------------------------------------------------- pool draw
+@functools.lru_cache(maxsize=64)
 def make_nf_pool_fn(problem, num_chains: int, pool_slices: int,
                     batch_size: int, chunk_rows: int = 1 << 20):
     """Jitted ``(flow, key) -> Pool`` drawing ``C x pool_slices x batch_size``
@@ -107,6 +108,7 @@ def make_nf_pool_fn(problem, num_chains: int, pool_slices: int,
 
 
 # ----------------------------------------------------------------- trainer
+@functools.lru_cache(maxsize=64)
 def make_pool_trainer(cfg: GLMCMCNFConfig, optimizer, num_chains: int,
                       theta_dim: int, max_train: int = 65536):
     """One reference training epoch ON THE POOL (``GLMCMC_NFs.py:114-124``):
@@ -187,6 +189,17 @@ def _build_pooled_bodies(problem, local_proposal, cfg: GLMCMCNFConfig,
     return global_move, local_move
 
 
+def _pytree_key(tree):
+    """Hashable by-value key for a small array pytree (distribution params)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return (treedef, tuple(
+        (np.asarray(x).shape, np.asarray(x).dtype.str, np.asarray(x).tobytes())
+        for x in leaves))
+
+
+_SEGMENT_CACHE: dict = {}
+
+
 def make_pooled_segment(problem, local_proposal, flow_template,
                         cfg: GLMCMCNFConfig, pool_slices: int,
                         shared_coin: bool):
@@ -198,6 +211,10 @@ def make_pooled_segment(problem, local_proposal, flow_template,
     vmapped ``lax.cond`` picks global/local per chain.  Shared coin: the
     coin is a scalar ``lax.cond`` — local steps skip the flow inverse."""
     del flow_template
+    cache_key = (problem, _pytree_key(local_proposal), cfg, pool_slices,
+                 shared_coin)
+    if cache_key in _SEGMENT_CACHE:
+        return _SEGMENT_CACHE[cache_key]
     gf = cfg.global_frequency
     global_move, local_move = _build_pooled_bodies(
         problem, local_proposal, cfg, pool_slices)
@@ -237,6 +254,7 @@ def make_pooled_segment(problem, local_proposal, flow_template,
             keys = jax.random.split(coin_key, length)
             return jax.lax.scan(body, carry, keys)
 
+    _SEGMENT_CACHE[cache_key] = segment
     return segment
 
 
@@ -321,6 +339,45 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _make_nf_fused_helpers(problem, d: int, d_pad: int, C: int, T: int,
+                           B: int):
+    from ..ops.pallas.pool_isir_kernel import pack_pool_logw, pack_pool_theta
+
+    @jax.jit
+    def pack(pools_):
+        return (pack_pool_theta(pools_.theta, T, B, d_pad),
+                pack_pool_logw(pools_.log_w, T, B))
+
+    @jax.jit
+    def state_logw(flow_, theta_k, logk):
+        """Segment-entry carried log-weight under the CURRENT flow — exactly
+        the reference's per-global-move recompute (``GLMCMC_NFs.py:98-101``),
+        hoisted to once per epoch (between epochs the state is always a pool
+        candidate whose weight the kernel carries)."""
+        th = theta_k[:d].T
+        logq = flow_.log_prob(th)
+        return (problem.prior_log_prob(th) + logk - logq)[None, :]
+
+    @jax.jit
+    def state_init(theta_cd):
+        return jnp.zeros((d_pad, C), jnp.float32).at[:d].set(theta_cd.T)
+
+    @jax.jit
+    def resolve(pools_, sel, y_prev, logk_prev):
+        s = sel[0]
+        idx = jnp.maximum(s, 0.0).astype(jnp.int32)
+        y_sel = jnp.take_along_axis(pools_.x, idx[:, None, None],
+                                    axis=1)[:, 0]
+        dis_sel = jnp.take_along_axis(pools_.dis, idx[:, None], axis=1)[:, 0]
+        logk_sel = problem.kernel_log_prob(dis_sel)
+        moved = s >= 0.0
+        return (jnp.where(moved[:, None], y_sel, y_prev),
+                jnp.where(moved, logk_sel, logk_prev))
+
+    return pack, state_logw, state_init, resolve
+
+
 # ---------------------------------------------------------- Pallas (gf = 1)
 def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
                         base=None, batch_size=5, step_size=200,
@@ -341,11 +398,7 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
     exactly ``num_ite`` rows; final carry may be ahead on a ragged final
     segment; per-segment move counts scaled pro-rata)."""
     from ..models.flows import CouplingFlow
-    from ..ops.pallas.pool_isir_kernel import (
-        PoolISIR,
-        pack_pool_logw,
-        pack_pool_theta,
-    )
+    from ..ops.pallas.pool_isir_kernel import PoolISIR
 
     del local_proposal  # gf=1: no local moves
     d = problem.theta_dim
@@ -373,35 +426,8 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
     else:
         kern_run = kern.run
 
-    @jax.jit
-    def pack(pools_):
-        return (pack_pool_theta(pools_.theta, T, B, d_pad),
-                pack_pool_logw(pools_.log_w, T, B))
-
-    @jax.jit
-    def state_logw(flow_, theta_k, logk):
-        """Segment-entry carried log-weight under the CURRENT flow — exactly
-        the reference's per-global-move recompute (``GLMCMC_NFs.py:98-101``),
-        hoisted to once per epoch (between epochs the state is always a pool
-        candidate whose weight the kernel carries)."""
-        th = theta_k[:d].T
-        logq = flow_.log_prob(th)
-        return (problem.prior_log_prob(th) + logk - logq)[None, :]
-
-    @jax.jit
-    def state_init(theta_cd):
-        return jnp.zeros((d_pad, C), jnp.float32).at[:d].set(theta_cd.T)
-
-    @jax.jit
-    def resolve(pools_, sel, y_prev, logk_prev):
-        s = sel[0]
-        idx = jnp.maximum(s, 0.0).astype(jnp.int32)
-        y_sel = jnp.take_along_axis(pools_.x, idx[:, None, None], axis=1)[:, 0]
-        dis_sel = jnp.take_along_axis(pools_.dis, idx[:, None], axis=1)[:, 0]
-        logk_sel = problem.kernel_log_prob(dis_sel)
-        moved = s >= 0.0
-        return (jnp.where(moved[:, None], y_sel, y_prev),
-                jnp.where(moved, logk_sel, logk_prev))
+    pack, state_logw, state_init, resolve = _make_nf_fused_helpers(
+        problem, d, d_pad, C, T, B)
 
     k_loop, k_pool0 = jax.random.split(k_loop)
     pools = pool_fn(flow, k_pool0)
@@ -414,7 +440,9 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
         seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
                                       0, 2**31 - 1))
 
+    from .aglmcmc_fused import _AsyncBlocks
     blocks, losses = [], []
+    async_blocks = _AsyncBlocks(d)
     g_acc = np.zeros((C,), np.float64)
     num_train = 0
     done, steps_run, ep = 0, 0, 0
@@ -426,10 +454,12 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
             np.int32((seed + ep) % (2**31 - 1)), ptheta, plogw,
             theta_k, logw_k)
         if collect_history:
-            block = np.moveaxis(np.asarray(hist)[:take, :d, :], 2, 0)
             if on_segment is not None:
+                block = np.moveaxis(np.asarray(hist)[:take, :d, :], 2, 0)
                 on_segment(block, done)
-            blocks.append(block)
+                blocks.append(block)
+            else:
+                async_blocks.add(hist, take)
         y_cur, logk = resolve(pools, sel, y_cur, logk)
         g_acc += np.asarray(moved)[0] * (take / T)
         steps_run += take
@@ -445,6 +475,8 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
             ptheta, plogw = pack(pools)
             logw_k = state_logw(flow, theta_k, logk)
 
+    if collect_history and on_segment is None:
+        blocks = async_blocks.blocks()
     thetas = (np.concatenate([theta_init_row] + blocks, axis=1)
               if collect_history else theta_init_row)
     att = np.full((C,), steps_run, np.int32)
