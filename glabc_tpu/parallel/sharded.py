@@ -232,25 +232,32 @@ def make_sharded_shared_epoch(problem, cfg, shared_support: int, mesh):
         hat_eps = jnp.where(hat_eps > cfg.hat_eps_T, anneal(hat_eps),
                             hat_eps)
 
-        # (2) local training weights at hat_eps
-        theta_local = pools_local.theta.reshape(-1, d)
+        # (2) local training weights at hat_eps — computed on the native
+        # (C_local, P) shapes: reshaping the pooled thetas to (C*P, d)
+        # forces a relayout whose lane dim pads d -> 128 on TPU (a 64x HBM
+        # blowup); only 1-D weight vectors are flattened.
         train_log_w = (
-            problem.prior_log_prob(theta_local)
-            + problem.kernel_log_prob(dis_local, hat_eps)
-            - pools_local.log_q.reshape(-1)
-        )
-        w_local = jnp.exp(train_log_w)
+            problem.prior_log_prob(pools_local.theta)
+            + problem.kernel_log_prob(pools_local.dis, hat_eps)
+            - pools_local.log_q
+        )                                                   # (C_local, P)
+        w_local = jnp.exp(train_log_w).reshape(-1)
         w_local = jnp.where(jnp.isnan(w_local), 0.0, w_local)
 
-        # (3) shared KDE support by distributed systematic resampling
-        # (common grid from the replicated k_res), gathered so every
-        # device fits the identical KDE
-        idx_global = distributed_systematic_resample(k_res, w_local, per_dev)
-        theta_global = jax.lax.all_gather(theta_local,
-                                          CHAIN_AXIS).reshape(-1, d)
-        support = jax.lax.all_gather(
-            theta_global[idx_global], CHAIN_AXIS
-        ).reshape(shared_support, d)
+        # (3) shared KDE support by distributed systematic resampling:
+        # every device evaluates the FULL common grid (replicated=True,
+        # bitwise-identical selection), gathers the rows it owns from its
+        # local 3-D pool by unraveled index, and a psum combines them —
+        # each grid slot has exactly one owner, so the sum IS the gather.
+        # (No flattened theta_global: reshaping pooled thetas to (C*P, d)
+        # forces a relayout whose lane dim pads d -> 128 on TPU.)
+        idx_all = distributed_systematic_resample(
+            k_res, w_local, shared_support, replicated=True)  # (S,) global
+        owner = idx_all // n_local
+        loc = idx_all % n_local
+        rows = pools_local.theta[loc // P_pool, loc % P_pool]   # (S, d)
+        support = jax.lax.psum(
+            jnp.where((owner == my)[:, None], rows, 0.0), CHAIN_AXIS)
         kde = KernelDensity.fit(support, None, bandwidth="silverman")
 
         # (4) local per-chain pool redraw from the shared KDE
@@ -289,7 +296,8 @@ def distributed_quantile(x_local, q, axis_name: str = CHAIN_AXIS):
 
 
 def distributed_systematic_resample(key, w_local, num_per_device: int,
-                                    axis_name: str = CHAIN_AXIS):
+                                    axis_name: str = CHAIN_AXIS,
+                                    replicated: bool = False):
     """Systematic resampling over a device-sharded weight vector.
 
     Every device holds a shard ``w_local (n_local,)`` of the global weight
@@ -309,10 +317,17 @@ def distributed_systematic_resample(key, w_local, num_per_device: int,
     w_global = jnp.where(jnp.isnan(w_global) | (w_global < 0), 0.0, w_global)
     w_global = w_global / jnp.sum(w_global)
     c = jnp.cumsum(w_global)
-    n_dev = jax.lax.psum(1, axis_name)
-    N = num_per_device * n_dev
+    if replicated:
+        # every device evaluates the ENTIRE grid of ``num_per_device``
+        # points (identical on all devices) instead of its own slice —
+        # same grid law: (u0 + slot) / N over all N slots.
+        N = num_per_device
+        offset = jnp.int32(0)
+    else:
+        n_dev = jax.lax.psum(1, axis_name)
+        N = num_per_device * n_dev
+        offset = my * num_per_device
     u0 = jax.random.uniform(key, (), dtype=w_global.dtype)
-    offset = my * num_per_device
     u = (u0 + offset + jnp.arange(num_per_device, dtype=w_global.dtype)) / N
     idx = jnp.searchsorted(c, u, side="right")
     return jnp.clip(idx, 0, w_global.shape[0] - 1)

@@ -197,17 +197,20 @@ def _shared_epoch_update(problem, cfg: AGLMCMCConfig, shared_support: int,
 
     hat_eps = jnp.where(hat_eps > cfg.hat_eps_T, anneal(hat_eps), hat_eps)
 
-    theta_all = pools.theta.reshape(-1, d)
-    train_log_k = problem.kernel_log_prob(dis_all, hat_eps)
+    # keep (C, P, d) shapes end-to-end: reshaping the pooled thetas to
+    # (C*P, d) forces a relayout whose lane dim pads d -> 128 on TPU (a
+    # 64x HBM blowup — 67 GB at 65k chains); only the 1-D weights are
+    # flattened and the resampled support rows are gathered directly.
+    train_log_k = problem.kernel_log_prob(pools.dis, hat_eps)       # (C, P)
     train_log_w = (
-        problem.prior_log_prob(theta_all) + train_log_k
-        - pools.log_q.reshape(-1)
+        problem.prior_log_prob(pools.theta) + train_log_k - pools.log_q
     )
     w = jnp.exp(train_log_w)
     w = jnp.where(jnp.isnan(w), 0.0, w)
     w = w / jnp.sum(w)
-    idx = systematic_resample(k_res, w, shared_support)
-    kde = KernelDensity.fit(theta_all[idx], None, bandwidth="silverman")
+    idx = systematic_resample(k_res, w.reshape(-1), shared_support)
+    support = pools.theta[idx // P, idx % P]                # (S, d)
+    kde = KernelDensity.fit(support, None, bandwidth="silverman")
 
     def redraw(kk):
         k_s, k_x = jax.random.split(kk)
