@@ -34,8 +34,9 @@ def bench_fused():
     problem = MixtureProblem(0.05)
     # Chain count saturates per-call dispatch overhead around ~5e5 chains
     # (sweep: 16k -> 518M, 64k -> 1.08B, 512k -> 1.93B, 2M -> 2.03B trans/s);
-    # history stays on device (~1 GiB HBM per call at this config).
-    cols = 131072
+    # run at the 2M-chain saturation point — history stays on device
+    # (~4.3 GiB HBM per call at this config).
+    cols = 524288
     kern = PackedMixtureGLMCMC(
         2, problem.y_obs, epsilon=0.05, sigma=float(np.sqrt(0.05)),
         global_frequency=0.9, batch_size=5, ip_scale=1.0, lp_scale=0.35,

@@ -173,9 +173,15 @@ def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps):
 
 
 def _shared_epoch_update(problem, cfg: AGLMCMCConfig, shared_support: int,
-                         key, pools: Pool, hat_eps):
+                         key, pools: Pool, hat_eps, redraw_chunk: int = 0):
     """Shared (cross-chain) adaptation epoch: one epsilon quantile and one
     KDE fit over ALL chains' pools.
+
+    ``redraw_chunk > 0`` runs the per-chain pool redraws in sequential
+    ``lax.map`` chunks of that many chains: the 4x-oversampled candidate
+    draw materializes a ``(chunk, 4P, d)`` temp whose flattened ``(N, d)``
+    form is lane-padded d -> 128 on TPU (64x HBM at d=2), so the
+    all-chains-at-once draw OOMs past ~10k chains.
 
     The pooled training set (C*P weighted samples) is compressed to
     ``shared_support`` points by weighted systematic resampling — which
@@ -221,18 +227,31 @@ def _shared_epoch_update(problem, cfg: AGLMCMCConfig, shared_support: int,
         new_log_q = kde.log_prob(new_theta)
         return _pool_from_proposals(problem, k_x, new_theta, new_log_q)
 
-    new_pools = jax.vmap(redraw)(jax.random.split(k_sample, C))
+    keys = jax.random.split(k_sample, C)
+    vredraw = jax.vmap(redraw)
+    if redraw_chunk and redraw_chunk < C:
+        assert C % redraw_chunk == 0, (
+            "num_chains must divide by redraw_chunk")
+        n_blk = C // redraw_chunk
+        new_pools = jax.lax.map(
+            vredraw, keys.reshape(n_blk, redraw_chunk, *keys.shape[1:]))
+        new_pools = jax.tree_util.tree_map(
+            lambda x: x.reshape((C,) + x.shape[2:]), new_pools)
+    else:
+        new_pools = vredraw(keys)
     del k_sim
     return new_pools, kde, hat_eps
 
 
 @functools.lru_cache(maxsize=64)
-def make_shared_epoch_fn(problem, cfg: AGLMCMCConfig, shared_support: int):
+def make_shared_epoch_fn(problem, cfg: AGLMCMCConfig, shared_support: int,
+                         redraw_chunk: int = 0):
     """Jitted (and process-cached) shared-adaptation epoch — cached on
-    ``(problem, cfg, shared_support)`` so repeated driver calls reuse one
-    compiled executable instead of re-jitting per call."""
+    ``(problem, cfg, shared_support, redraw_chunk)`` so repeated driver
+    calls reuse one compiled executable instead of re-jitting per call."""
     return jax.jit(functools.partial(_shared_epoch_update, problem, cfg,
-                                     shared_support))
+                                     shared_support,
+                                     redraw_chunk=redraw_chunk))
 
 
 @functools.lru_cache(maxsize=64)
@@ -412,7 +431,10 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                 problem, cfg, shared_support, mesh
             )
         else:
-            shared_epoch = make_shared_epoch_fn(problem, cfg, shared_support)
+            shared_epoch = make_shared_epoch_fn(
+                problem, cfg, shared_support,
+                redraw_chunk=(epoch_chunk if epoch_chunk
+                              and epoch_chunk < C else 0))
         epoch_fn = None
     else:
         epoch_fn = make_epoch_fn(problem, cfg, C, epoch_chunk)

@@ -75,11 +75,24 @@ class _AsyncBlocks:
     (``copy_to_host_async``) and materialize all blocks once at the end —
     the device runs segment ``k+1`` while segment ``k``'s history streams
     out.  Used whenever no ``on_segment`` callback demands synchronous
-    blocks."""
+    blocks.
 
-    def __init__(self, d: int):
+    Only ``max_pending`` device buffers are held at once (a segment's
+    history can be ~0.5 GB of HBM; keeping all of them alive until the end
+    OOMs long runs) — older segments are materialized as soon as a newer
+    one is enqueued, by which point their async copy has had a full
+    segment of compute to complete."""
+
+    def __init__(self, d: int, max_pending: int = 2):
         self._d = d
+        self._max = max(1, int(max_pending))
         self._pending: list = []
+        self._done: list = []
+
+    def _materialize(self, item) -> None:
+        h, take = item
+        self._done.append(
+            np.moveaxis(np.asarray(h)[:take, :self._d, :], 2, 0))
 
     def add(self, hist_dev, take: int) -> None:
         try:
@@ -87,10 +100,13 @@ class _AsyncBlocks:
         except (AttributeError, RuntimeError):
             pass  # multi-device arrays: np.asarray below still works
         self._pending.append((hist_dev, take))
+        while len(self._pending) > self._max:
+            self._materialize(self._pending.pop(0))
 
     def blocks(self) -> list:
-        return [np.moveaxis(np.asarray(h)[:take, :self._d, :], 2, 0)
-                for h, take in self._pending]
+        while self._pending:
+            self._materialize(self._pending.pop(0))
+        return self._done
 
 
 @functools.lru_cache(maxsize=64)
@@ -322,7 +338,8 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
                             interpret: bool = False, mesh=None,
                             lp_scale: float = 0.35,
                             shared_support: int = 4096,
-                            support_chunk: int = 512) -> AGLResult:
+                            support_chunk: int = 512,
+                            redraw_chunk: int = 512) -> AGLResult:
     """AGLMCMC at ``global_frequency < 1`` via the fused
     :class:`~glabc_tpu.ops.pallas.pool_isir_mixed_kernel.PoolISIRMixed`
     kernel (per-chain coin, in-kernel Mixture local RW move, in-kernel
@@ -411,7 +428,9 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
                                              mesh)
     else:
         kern_run = kern.run
-        epoch_fn = make_shared_epoch_fn(problem, cfg, shared_support)
+        epoch_fn = make_shared_epoch_fn(
+            problem, cfg, shared_support,
+            redraw_chunk=(redraw_chunk if redraw_chunk < C else 0))
 
     pack = _make_pack(seg_len, B, d_pad, problem)
 
