@@ -34,8 +34,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default="./results")
     p.add_argument("--method", default="scan", choices=["scan", "fused"],
-                   help="fused = Pallas kernels for GLMCMC/GLMALA (TPU; "
-                        "chains must be a multiple of 512 / 2048)")
+                   help="fused = Pallas kernels for GLMCMC/GLMALA/AGLMCMC "
+                        "and the gf=1 pool-iSIR route for NF (TPU; chains "
+                        "must be a multiple of the kernel block: 512/2048 "
+                        "for GLMCMC/GLMALA, 1024 for AGLMCMC/NF)")
     args = p.parse_args()
 
     model = MixtureProblem(epsilon=0.05)
@@ -75,15 +77,21 @@ def main():
         report("GLMALA", ch, time.time() - t)
     if which in ("nf", "all"):
         t = time.time()
-        ch = runner.run_glmcmc_nf(args.num_ite, theta0, None, 0.5, lp,
+        # scan/pooled/fused all valid; the example maps --method fused to
+        # the gf=1 pool-iSIR route and scan to the pooled default
+        nf_method = "fused" if args.method == "fused" else "pooled"
+        nf_gf = 1.0 if nf_method == "fused" else 0.5
+        ch = runner.run_glmcmc_nf(args.num_ite, theta0, None, nf_gf, lp,
                                   gp_base, 5, 200, 50,
-                                  output_file="glmcmc_nf_results.csv")
+                                  output_file="glmcmc_nf_results.csv",
+                                  method=nf_method)
         report("GLMCMC-NF", ch, time.time() - t)
     if which in ("aglmcmc", "all"):
         t = time.time()
         ch = runner.run_aglmcmc(args.num_ite, theta0, None, 1.0, lp, ip, 5,
                                 200, 0.8, 0.2,
-                                output_file="aglmcmc_results.csv")
+                                output_file="aglmcmc_results.csv",
+                                method=args.method)
         report("AGLMCMC", ch, time.time() - t)
 
 
