@@ -68,21 +68,47 @@ _SUB = 8
 
 
 # --------------------------------------------------------------- pool draw
+_FLOW_BLOCK_ROWS = 2048
+
+
+def _flow_backend_auto(flow_backend: str, n_rows: int) -> str:
+    """Resolve 'auto': the Pallas whole-stack flow kernel on any non-CPU
+    backend when the row count tiles its block, else the XLA flow."""
+    if flow_backend != "auto":
+        return flow_backend
+    try:
+        on_cpu = jax.devices()[0].platform == "cpu"
+    except RuntimeError:
+        on_cpu = True
+    return ("pallas" if (not on_cpu and n_rows % _FLOW_BLOCK_ROWS == 0)
+            else "xla")
+
+
 @functools.lru_cache(maxsize=64)
 def make_nf_pool_fn(problem, num_chains: int, pool_slices: int,
-                    batch_size: int, chunk_rows: int = 1 << 20):
+                    batch_size: int, chunk_rows: int = 1 << 20,
+                    flow_backend: str = "auto"):
     """Jitted ``(flow, key) -> Pool`` drawing ``C x pool_slices x batch_size``
     flow proposals, simulated and MCMC-weighted (``GLMCMC_NFs.py:70-86``).
 
     The total draw (up to ~3e7 rows at 32k chains) runs as a ``lax.map``
     over row chunks so the (rows, hidden) coupling-MLP activations never
-    exceed ``chunk_rows * hidden`` floats of HBM."""
+    exceed ``chunk_rows * hidden`` floats of HBM.
+
+    ``flow_backend='pallas'`` pushes each chunk through the whole-stack
+    Pallas flow kernel (:mod:`glabc_tpu.ops.pallas.flow_kernel`) — all 32
+    layers VMEM-resident per block, no per-layer HBM activation round-trips
+    (the dominant cost of the XLA path at epoch scale)."""
     C = num_chains
     P = pool_slices * batch_size
     N = C * P
     n_chunks = max(1, -(-N // chunk_rows))
     chunk = -(-N // n_chunks)
+    # round the chunk up so the Pallas grid tiles it exactly
+    chunk = -(-chunk // _FLOW_BLOCK_ROWS) * _FLOW_BLOCK_ROWS
+    n_chunks = max(1, -(-N // chunk))
     pad = n_chunks * chunk - N
+    backend = _flow_backend_auto(flow_backend, chunk)
 
     @jax.jit
     def pool_fn(flow, key):
@@ -90,7 +116,14 @@ def make_nf_pool_fn(problem, num_chains: int, pool_slices: int,
 
         def one_chunk(k):
             kd, ks = jax.random.split(k)
-            th, log_q = flow.forward(kd, chunk)
+            if backend == "pallas":
+                from ..ops.pallas.flow_kernel import flow_push_fused
+                z, log_p = flow.base.forward(kd, chunk)
+                x_t, s = flow_push_fused(flow, z.T,
+                                         block_rows=_FLOW_BLOCK_ROWS)
+                th, log_q = x_t.T, log_p - s
+            else:
+                th, log_q = flow.forward(kd, chunk)
             pool = _pool_from_proposals(problem, ks, th, log_q)
             return pool
 
@@ -197,22 +230,28 @@ def _pytree_key(tree):
         for x in leaves))
 
 
+# insertion-ordered dict as a bounded FIFO cache (mirrors the maxsize=64
+# lru_caches on the other driver helper factories — a long-lived process
+# sweeping proposal scales must not accumulate compiled segments forever)
 _SEGMENT_CACHE: dict = {}
+_SEGMENT_CACHE_MAX = 64
 
 
 def make_pooled_segment(problem, local_proposal, flow_template,
                         cfg: GLMCMCNFConfig, pool_slices: int,
-                        shared_coin: bool):
+                        shared_coin: bool, flow_backend: str = "xla"):
     """Jitted ``segment(flow, pools, carry, coin_key, length)`` advancing all
     chains ``length`` steps over their pools.
 
     Per-chain coin (reference kernel, independent chains): every step
     computes one batched ``flow.log_prob`` over all chains' states and a
     vmapped ``lax.cond`` picks global/local per chain.  Shared coin: the
-    coin is a scalar ``lax.cond`` — local steps skip the flow inverse."""
+    coin is a scalar ``lax.cond`` — local steps skip the flow inverse.
+    ``flow_backend='pallas'`` runs that per-step batched inverse through
+    the whole-stack Pallas flow kernel (chain count must tile its block)."""
     del flow_template
     cache_key = (problem, _pytree_key(local_proposal), cfg, pool_slices,
-                 shared_coin)
+                 shared_coin, flow_backend)
     if cache_key in _SEGMENT_CACHE:
         return _SEGMENT_CACHE[cache_key]
     gf = cfg.global_frequency
@@ -221,6 +260,17 @@ def make_pooled_segment(problem, local_proposal, flow_template,
     v_global = jax.vmap(global_move, in_axes=(0, 0, 0))
     v_local = jax.vmap(local_move)
 
+    if flow_backend == "pallas":
+        from ..ops.pallas.flow_kernel import flow_pull_fused
+
+        def batched_logq(flow_, theta_cd):
+            z_t, s = flow_pull_fused(flow_, theta_cd.T,
+                                     block_rows=_FLOW_BLOCK_ROWS)
+            return flow_.base.log_prob(z_t.T) - s
+    else:
+        def batched_logq(flow_, theta_cd):
+            return flow_.log_prob(theta_cd)
+
     if shared_coin:
         @functools.partial(jax.jit, static_argnames=("length",))
         def segment(flow, pools, carry, coin_key, length):
@@ -228,7 +278,7 @@ def make_pooled_segment(problem, local_proposal, flow_template,
 
             def body(c, coin):
                 def g(c):
-                    logq = flow.log_prob(c.theta)
+                    logq = batched_logq(flow, c.theta)
                     return v_global(pools, logq, c)
 
                 return jax.lax.cond(coin, g, v_local, c)
@@ -238,7 +288,7 @@ def make_pooled_segment(problem, local_proposal, flow_template,
         @functools.partial(jax.jit, static_argnames=("length",))
         def segment(flow, pools, carry, coin_key, length):
             def body(c, k_step):
-                logq = flow.log_prob(c.theta)
+                logq = batched_logq(flow, c.theta)
                 coins = (jax.random.uniform(k_step, (c.theta.shape[0],))
                          < gf)
 
@@ -254,6 +304,8 @@ def make_pooled_segment(problem, local_proposal, flow_template,
             keys = jax.random.split(coin_key, length)
             return jax.lax.scan(body, carry, keys)
 
+    while len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+        _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
     _SEGMENT_CACHE[cache_key] = segment
     return segment
 
@@ -268,7 +320,10 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
                          max_train: int = 65536,
                          chunk_rows: int = 1 << 20,
                          learning_rate: float = 5e-4,
-                         weight_decay: float = 1e-5) -> NFResult:
+                         weight_decay: float = 1e-5,
+                         checkpoint_path: str | None = None,
+                         resume: bool = False,
+                         flow_backend: str = "auto") -> NFResult:
     """GLMCMC-NF via the pooled XLA fast path (reference pool semantics).
 
     Same Markov kernel as :func:`glabc_tpu.samplers.glmcmc_nf.run_glmcmc_nf`
@@ -298,10 +353,12 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
                      jnp.zeros((C,), jnp.int32), cc.key, cc.counts)
     theta_init = np.asarray(carry.theta)[:, None, :]
 
-    pool_fn = make_nf_pool_fn(problem, C, pool_slices, batch_size, chunk_rows)
+    pool_fn = make_nf_pool_fn(problem, C, pool_slices, batch_size,
+                              chunk_rows, flow_backend)
     train = make_pool_trainer(cfg, optimizer, C, d, max_train)
     segment = make_pooled_segment(problem, local_proposal, flow, cfg,
-                                  pool_slices, shared_coin)
+                                  pool_slices, shared_coin,
+                                  _flow_backend_auto(flow_backend, C))
 
     seg_len = (max(1, int(round(step_size / global_frequency)))
                if global_frequency > 0 else (num_ite - 1))
@@ -312,15 +369,27 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
     blocks, losses = [], []
     num_train = 0
     done, total = 0, num_ite - 1
+    pending_epoch = False
+
+    from ._fused_io import restore_epoch_ckpt, save_epoch_ckpt
+    ckpt_meta = {"sampler": "glmcmc_nf_pooled", "num_chains": C,
+                 "theta_dim": d, "seg_len": seg_len,
+                 "pool_slices": pool_slices, "batch_size": batch_size,
+                 "n_layers": n_layers, "hidden": hidden}
+    restored = (restore_epoch_ckpt(checkpoint_path, ckpt_meta)
+                if resume and checkpoint_path is not None else None)
+    if restored is not None:
+        state, done = restored
+        flow, opt_state, pools, carry, k_loop = (
+            state["flow"], state["opt_state"], state["pools"],
+            state["carry"], state["k_loop"])
+        num_train = int(state["num_train"])
+        losses = [float(x) for x in np.asarray(state["losses"]).ravel()]
+        pending_epoch = True
+        theta_init = None
+
     while done < total:
-        take = min(seg_len, total - done)
-        k_loop, k_coin = jax.random.split(k_loop)
-        carry, outs = segment(flow, pools, carry, k_coin, take)
-        blocks.append(np.moveaxis(np.asarray(outs.theta), 0, 1))
-        if on_segment is not None:
-            on_segment(blocks[-1], done)
-        done += take
-        if done < total:
+        if pending_epoch:
             # pool exhausted: train on it, then redraw from the updated flow
             # (GLMCMC_NFs.py:112-140; redraw happens even after training
             # stops at Train_step)
@@ -331,8 +400,29 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
                 num_train += 1
             pools = pool_fn(flow, k_pl)
             carry = carry._replace(kk=carry.kk * 0)
+            pending_epoch = False
+        take = min(seg_len, total - done)
+        k_loop, k_coin = jax.random.split(k_loop)
+        carry, outs = segment(flow, pools, carry, k_coin, take)
+        blocks.append(np.moveaxis(np.asarray(outs.theta), 0, 1))
+        if on_segment is not None:
+            on_segment(blocks[-1], done)
+        done += take
+        if take == seg_len:
+            if done < total:
+                pending_epoch = True
+            if checkpoint_path is not None:
+                save_epoch_ckpt(
+                    checkpoint_path,
+                    {"flow": flow, "opt_state": opt_state, "pools": pools,
+                     "carry": carry, "k_loop": k_loop,
+                     "num_train": num_train,
+                     "losses": np.asarray(losses, np.float64)},
+                    done, take, seg_len, meta=ckpt_meta)
 
-    thetas = np.concatenate([theta_init] + blocks, axis=1)
+    head = [theta_init] if theta_init is not None else []
+    thetas = (np.concatenate(head + blocks, axis=1) if blocks or head
+              else np.zeros((C, 0, d), np.float32))
     return NFResult(
         thetas=thetas, counts=carry.counts, final_carry=carry,
         flow=flow, loss_hist=np.asarray(losses),
@@ -356,7 +446,7 @@ def _make_nf_fused_helpers(problem, d: int, d_pad: int, C: int, T: int,
         hoisted to once per epoch (between epochs the state is always a pool
         candidate whose weight the kernel carries)."""
         th = theta_k[:d].T
-        logq = flow_.log_prob(th)
+        logq = flow_.log_prob_t(theta_k[:d])
         return (problem.prior_log_prob(th) + logk - logq)[None, :]
 
     @jax.jit
@@ -388,7 +478,10 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
                         max_train: int = 65536, chunk_rows: int = 1 << 20,
                         learning_rate: float = 5e-4,
                         weight_decay: float = 1e-5,
-                        interpret: bool = False, mesh=None) -> NFResult:
+                        interpret: bool = False, mesh=None,
+                        checkpoint_path: str | None = None,
+                        resume: bool = False,
+                        flow_backend: str = "auto") -> NFResult:
     """GLMCMC-NF at ``global_frequency = 1`` via the fused pool-iSIR Pallas
     kernel: every transition is an iSIR move over a precomputed flow pool, so
     the in-kernel step is pure data selection; flow sampling, training, and
@@ -415,7 +508,7 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
     opt_state = optimizer.init(flow)
 
     cc = init_chain_carry(problem, k_chain, theta0, y0, C)
-    pool_fn = make_nf_pool_fn(problem, C, T, B, chunk_rows)
+    pool_fn = make_nf_pool_fn(problem, C, T, B, chunk_rows, flow_backend)
     train = make_pool_trainer(cfg, optimizer, C, d, max_train)
 
     kern = PoolISIR(d, batch_size=B, steps_per_call=T,
@@ -440,15 +533,49 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
         seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
                                       0, 2**31 - 1))
 
-    from .aglmcmc_fused import _AsyncBlocks
+    from .aglmcmc_fused import _AsyncBlocks, _fused_final_carry
     blocks, losses = [], []
     async_blocks = _AsyncBlocks(d)
     g_acc = np.zeros((C,), np.float64)
     num_train = 0
     done, steps_run, ep = 0, 0, 0
     total = num_ite - 1
+    pending_epoch = False
+
+    from ._fused_io import restore_epoch_ckpt, save_epoch_ckpt
+    ckpt_meta = {"sampler": "glmcmc_nf_fused", "num_chains": C,
+                 "theta_dim": d, "steps_per_call": T, "batch_size": B,
+                 "block_chains": block_chains, "n_layers": n_layers,
+                 "hidden": hidden}
+    restored = (restore_epoch_ckpt(checkpoint_path, ckpt_meta)
+                if resume and checkpoint_path is not None else None)
+    if restored is not None:
+        state, done = restored
+        flow, opt_state, pools = (state["flow"], state["opt_state"],
+                                  state["pools"])
+        theta_k, logw_k = state["theta_k"], state["logw_k"]
+        y_cur, logk = state["y_cur"], state["logk"]
+        g_acc = np.asarray(state["g_acc"], np.float64)
+        steps_run, ep = int(state["steps_run"]), int(state["ep"])
+        num_train = int(state["num_train"])
+        seed, k_loop = int(state["seed"]), state["k_loop"]
+        losses = [float(x) for x in np.asarray(state["losses"]).ravel()]
+        pending_epoch = True
+        theta_init_row = None
+
     ptheta, plogw = pack(pools)
     while done < total:
+        if pending_epoch:
+            k_loop, k_tr, k_pl = jax.random.split(k_loop, 3)
+            if num_train < train_steps:
+                flow, opt_state, loss = train(flow, opt_state, pools, k_tr)
+                losses.append(float(loss))
+                num_train += 1
+            pools = pool_fn(flow, k_pl)
+            ep += 1
+            ptheta, plogw = pack(pools)
+            logw_k = state_logw(flow, theta_k, logk)
+            pending_epoch = False
         take = min(T, total - done)
         theta_k, logw_k, sel, moved, hist = kern_run(
             np.int32((seed + ep) % (2**31 - 1)), ptheta, plogw,
@@ -464,21 +591,29 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
         g_acc += np.asarray(moved)[0] * (take / T)
         steps_run += take
         done += take
-        if done < total:
-            k_loop, k_tr, k_pl = jax.random.split(k_loop, 3)
-            if num_train < train_steps:
-                flow, opt_state, loss = train(flow, opt_state, pools, k_tr)
-                losses.append(float(loss))
-                num_train += 1
-            pools = pool_fn(flow, k_pl)
-            ep += 1
-            ptheta, plogw = pack(pools)
-            logw_k = state_logw(flow, theta_k, logk)
+        if take == T:
+            if done < total:
+                pending_epoch = True
+            if checkpoint_path is not None:
+                save_epoch_ckpt(
+                    checkpoint_path,
+                    {"flow": flow, "opt_state": opt_state, "pools": pools,
+                     "theta_k": theta_k, "logw_k": logw_k, "y_cur": y_cur,
+                     "logk": logk, "g_acc": g_acc, "steps_run": steps_run,
+                     "ep": ep, "num_train": num_train, "seed": seed,
+                     "k_loop": k_loop,
+                     "losses": np.asarray(losses, np.float64)},
+                    done, take, T, meta=ckpt_meta)
 
     if collect_history and on_segment is None:
         blocks = async_blocks.blocks()
-    thetas = (np.concatenate([theta_init_row] + blocks, axis=1)
-              if collect_history else theta_init_row)
+    head = [theta_init_row] if theta_init_row is not None else []
+    if collect_history and (head or blocks):
+        thetas = np.concatenate(head + blocks, axis=1)
+    elif head:
+        thetas = theta_init_row
+    else:
+        thetas = np.zeros((C, 0, d), np.float32)
     att = np.full((C,), steps_run, np.int32)
     counts = MoveCounts(
         global_attempts=att,
@@ -488,6 +623,8 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
     )
     return NFResult(
         thetas=thetas, counts=counts,
-        final_carry=(theta_k, y_cur, logk, logw_k),
+        final_carry=_fused_final_carry(problem, d, theta_k, y_cur, logk,
+                                       counts, key),
         flow=flow, loss_hist=np.asarray(losses),
+        fused_state=(theta_k, y_cur, logk, logw_k),
     )

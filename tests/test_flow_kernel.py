@@ -1,0 +1,84 @@
+"""Whole-stack Pallas coupling-flow kernel vs the XLA flow (interpret mode
+on CPU; the kernel has no in-kernel PRNG, so interpret results are exact
+modulo f32 matmul rounding)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from glabc_tpu.models.flows import CouplingFlow
+from glabc_tpu.ops.pallas.flow_kernel import (
+    FusedCouplingFlow,
+    flow_pull_fused,
+    flow_push_fused,
+)
+
+
+def _trained_flow(dim=2, n_layers=4, hidden=32, steps=25):
+    flow = CouplingFlow.create(jax.random.PRNGKey(0), dim, n_layers, hidden)
+    opt = optax.adam(1e-2)
+    st = opt.init(flow)
+    data = (jax.random.normal(jax.random.PRNGKey(1), (256, dim)) * 1.5
+            + jnp.arange(dim))
+    for _ in range(steps):
+        g = jax.grad(lambda f: f.forward_kld(data))(flow)
+        up, st = opt.update(g, st)
+        flow = optax.apply_updates(flow, up)
+    return flow
+
+
+class TestFlowKernelParity:
+    @pytest.mark.parametrize("dim", [2, 3, 8])
+    def test_push_matches_xla(self, dim):
+        flow = _trained_flow(dim=dim)
+        z = jax.random.normal(jax.random.PRNGKey(2), (dim, 256))
+        x_ref, s_ref = flow.push_t(z)
+        x_k, s_k = flow_push_fused(flow, z, block_rows=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
+                                   atol=2e-5, rtol=1e-5)
+
+    @pytest.mark.parametrize("dim", [2, 3, 8])
+    def test_pull_inverts_push(self, dim):
+        flow = _trained_flow(dim=dim)
+        z = jax.random.normal(jax.random.PRNGKey(3), (dim, 128))
+        x_k, s_fwd = flow_push_fused(flow, z, block_rows=128, interpret=True)
+        z_back, s_inv = flow_pull_fused(flow, x_k, block_rows=128,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(z_back), np.asarray(z),
+                                   atol=5e-5, rtol=1e-4)
+        # log-det of the inverse pass equals the forward pass
+        np.testing.assert_allclose(np.asarray(s_inv), np.asarray(s_fwd),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_log_prob_assembly(self):
+        """base.log_prob(pull(x)) - s == flow.log_prob(x)."""
+        flow = _trained_flow()
+        x = jax.random.normal(jax.random.PRNGKey(4), (256, 2)) * 2.0
+        ref = flow.log_prob(x)
+        z_t, s = flow_pull_fused(flow, x.T, block_rows=128, interpret=True)
+        got = flow.base.log_prob(z_t.T) - s
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-5)
+
+    def test_kernel_cache_hits_by_value(self):
+        a = FusedCouplingFlow(2, 4, 32, block_rows=128)
+        b = FusedCouplingFlow(2, 4, 32, block_rows=128)
+        assert a == b and hash(a) == hash(b)
+        c = FusedCouplingFlow(2, 4, 32, block_rows=128,
+                              matmul_dtype="bfloat16")
+        assert a != c
+
+    def test_bf16_accuracy_band(self):
+        """bf16 matmuls: log-scale sum within ~1e-2 of f32 (proposal-density
+        grade, documented in the kernel module docstring)."""
+        flow = _trained_flow()
+        z = jax.random.normal(jax.random.PRNGKey(5), (2, 256))
+        _, s_ref = flow.push_t(z)
+        x_k, s_k = flow_push_fused(flow, z, block_rows=128,
+                                   matmul_dtype="bfloat16", interpret=True)
+        assert float(jnp.abs(s_k - s_ref).max()) < 5e-2
+        assert np.all(np.isfinite(np.asarray(x_k)))
