@@ -20,7 +20,8 @@ import os
 
 import numpy as np
 
-__all__ = ["save_fused_ckpt", "restore_fused_ckpt"]
+__all__ = ["save_fused_ckpt", "restore_fused_ckpt",
+           "save_epoch_ckpt", "restore_epoch_ckpt"]
 
 
 def save_fused_ckpt(path, state, counters, steps_run, call_idx, seed, done,
@@ -82,3 +83,59 @@ def restore_fused_ckpt(path, expect_meta=None):
     counters = tuple(np.asarray(x, np.float64) for x in snap["counters"])
     return (snap["state"], counters, int(snap["steps_run"]),
             int(snap["call_idx"]), int(snap["seed"]), int(done))
+
+
+# --------------------------------------------------------- adaptive drivers
+#
+# The adaptive samplers (AGLMCMC, GLMCMC-NF) interleave segments with
+# adaptation epochs.  Their checkpoints snapshot the PRE-EPOCH loop state at
+# each aligned segment boundary; the driver loops run any pending epoch at
+# the TOP of the next iteration, so a resume deterministically replays the
+# epoch (same saved keys => bitwise-identical pools/KDE/flow) and continues
+# with zero history overlap.  This also makes "interrupted exactly at a
+# boundary" exact: whether the epoch runs depends on the RESUMING run's
+# remaining step count, just as it would have in the uninterrupted run.
+
+def save_epoch_ckpt(path, state, done, take, seg_len, meta=None):
+    """Snapshot an adaptive driver's pre-epoch loop state after an ALIGNED
+    segment (``take == seg_len``; ragged final segments are never
+    checkpointed — nothing follows them).
+
+    ``state``: arbitrary pytree (pools, flow + optimizer state, packed
+    kernel tiles, RNG keys, counters...).  ``meta``: static configuration
+    dict validated on restore."""
+    if take != seg_len:
+        return
+    from ..utils.io import save_carry
+
+    snap = {"state": state}
+    if meta:
+        snap["meta"] = {k: np.asarray(v) for k, v in sorted(meta.items())}
+    save_carry(path, snap, step=done)
+
+
+def restore_epoch_ckpt(path, expect_meta=None):
+    """Return ``(state, done)`` from :func:`save_epoch_ckpt`, or ``None`` if
+    no checkpoint exists.  Validates ``expect_meta`` like
+    :func:`restore_fused_ckpt`."""
+    from ..utils.io import carry_path, load_carry
+    if not os.path.exists(carry_path(path)):
+        return None
+    snap, done = load_carry(path)
+    if expect_meta is not None:
+        saved = snap.get("meta")
+        if saved is None:
+            raise ValueError(
+                f"checkpoint {path!r} has no config metadata; cannot verify "
+                "it matches this run — delete it or pass resume=False")
+        mismatches = {
+            k: (saved[k].item() if k in saved else "<absent>", v)
+            for k, v in expect_meta.items()
+            if k not in saved or saved[k].item() != v
+        }
+        if mismatches:
+            raise ValueError(
+                "checkpoint configuration mismatch (saved vs current): "
+                f"{mismatches} — delete the checkpoint or restore the "
+                "original configuration")
+    return snap["state"], int(done)

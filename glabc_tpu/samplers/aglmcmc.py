@@ -63,7 +63,7 @@ import numpy as np
 from ..models.kde import KernelDensity
 from ..ops.resampling import (
     categorical_from_log_weights,
-    stable_partition_indices,
+    stable_partition_take,
     systematic_resample,
 )
 from .base import MoveCounts, SamplerResult, StepOut, local_rw_move
@@ -162,11 +162,13 @@ def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps):
     # zero-weight rows are masked out inside fit.
     kde = KernelDensity.fit(pool.theta, train_w, bandwidth="silverman")
 
-    # (4) oversampled redraw + prior-support filter (:220-229)
-    cand = kde.sample(k_sample, cfg.oversample * P)
+    # (4) oversampled redraw + prior-support filter (:220-229).  The
+    # component pick and the valid-rows-first selection both run as one-hot
+    # MXU matmuls (bitwise-identical to the gather forms; gathers/scatters
+    # serialize badly vmapped over 10^4 chains)
+    cand = kde.sample(k_sample, cfg.oversample * P, matmul_select=True)
     ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
-    order = stable_partition_indices(ok)          # valid rows first
-    new_theta = cand[order[:P]]
+    new_theta = stable_partition_take(cand, ok, P)
     new_log_q = kde.log_prob(new_theta)
     new_pool = _pool_from_proposals(problem, k_sim, new_theta, new_log_q)
     return new_pool, kde, hat_eps
@@ -220,18 +222,20 @@ def _shared_epoch_update(problem, cfg: AGLMCMCConfig, shared_support: int,
 
     def redraw(kk):
         k_s, k_x = jax.random.split(kk)
-        cand = kde.sample(k_s, cfg.oversample * P)
+        cand = kde.sample(k_s, cfg.oversample * P, matmul_select=True)
         ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
-        order = stable_partition_indices(ok)
-        new_theta = cand[order[:P]]
+        new_theta = stable_partition_take(cand, ok, P)
         new_log_q = kde.log_prob(new_theta)
         return _pool_from_proposals(problem, k_x, new_theta, new_log_q)
 
     keys = jax.random.split(k_sample, C)
     vredraw = jax.vmap(redraw)
     if redraw_chunk and redraw_chunk < C:
-        assert C % redraw_chunk == 0, (
-            "num_chains must divide by redraw_chunk")
+        if C % redraw_chunk:
+            raise ValueError(
+                f"num_chains={C} must be divisible by "
+                f"redraw_chunk={redraw_chunk} (pass a divisor, or 0 for "
+                "unchunked redraws)")
         n_blk = C // redraw_chunk
         new_pools = jax.lax.map(
             vredraw, keys.reshape(n_blk, redraw_chunk, *keys.shape[1:]))
@@ -349,6 +353,10 @@ class AGLResult(SamplerResult):
     kde: Optional[KernelDensity] = None      # batched over chains
     hat_eps: Optional[np.ndarray] = None     # (C,) final thresholds
     hat_eps_hist: Optional[np.ndarray] = None  # (epochs, C)
+    # fused drivers only: the raw packed kernel tiles
+    # (theta (d_pad, C), y, log_kernel, [carried pool log-weight]) —
+    # final_carry itself is always the scan-path AGLCarry
+    fused_state: Optional[tuple] = None
 
 
 def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
@@ -358,7 +366,9 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                 support_retries: int = 0, epoch_chunk: int = 0,
                 shared_adaptation: bool = False,
                 shared_support: int = 4096, mesh=None,
-                pool_slack: Optional[int] = None) -> AGLResult:
+                pool_slack: Optional[int] = None,
+                checkpoint_path: Optional[str] = None,
+                resume: bool = False) -> AGLResult:
     """``epoch_chunk > 0`` runs the per-chain adaptation epochs (KDE fit +
     oversampled redraw) in sequential chunks of that many chains via
     ``lax.map`` — bounds memory for 10^4+ chain runs.
@@ -380,7 +390,13 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
 
     ``pool_slack``: extra pool slices beyond ``step_size`` so gf<1 segments
     never reuse a slice (module docstring); default auto-sizes to ~5 sigma
-    of the binomial consumption overshoot (0 at gf=1)."""
+    of the binomial consumption overshoot (0 at gf=1).
+
+    ``checkpoint_path``/``resume``: the full adaptation state (pools,
+    per-chain or shared KDE, ``hat_eps`` trajectory, chain carry, RNG keys)
+    is snapshotted at every aligned segment boundary (pre-epoch — the
+    pending epoch replays bitwise on resume); ``resume=True`` continues
+    bitwise-identically, returning only post-resume history."""
     if pool_slack is None:
         pool_slack = default_pool_slack(step_size, global_frequency)
     cfg = AGLMCMCConfig(global_frequency, batch_size, step_size, alpha,
@@ -468,15 +484,31 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
     done = 0
     total = num_ite - 1
     n_epochs = 0
+    pending_epoch = False
+
+    from ._fused_io import restore_epoch_ckpt, save_epoch_ckpt
+    ckpt_meta = {"sampler": "aglmcmc", "num_chains": C,
+                 "theta_dim": problem.theta_dim, "seg_len": seg_len,
+                 "pool_rows": P, "shared": int(shared_adaptation)}
+    restored = (restore_epoch_ckpt(checkpoint_path, ckpt_meta)
+                if resume and checkpoint_path is not None else None)
+    if restored is not None:
+        state, done = restored
+        pools, kdes, hat_eps, carry, k_loop = (
+            state["pools"], state["kdes"], state["hat_eps"], state["carry"],
+            state["k_loop"])
+        n_epochs = int(state["n_epochs"])
+        hat_eps_hist = [np.asarray(x) for x in
+                        np.asarray(state["hat_eps_hist"])]
+        pending_epoch = True
+        theta_init = None
+        if mesh is not None:
+            from ..parallel.mesh import shard_chains
+            carry = shard_chains(carry, mesh)
+            pools = shard_chains(pools, mesh)
+
     while done < total:
-        take = min(seg_len, total - done)
-        seg = seg_first if n_epochs == 0 else seg_rest
-        carry, outs = seg(pools, kdes, carry, take)
-        blocks.append(np.moveaxis(np.asarray(outs.theta), 0, 1))
-        if on_segment is not None:
-            on_segment(blocks[-1], done)
-        done += take
-        if done < total:
+        if pending_epoch:
             k_loop, k_ep = jax.random.split(k_loop)
             if shared_adaptation:
                 pools, kdes, hat_eps = shared_epoch(k_ep, pools, hat_eps)
@@ -489,8 +521,30 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
             # fresh pool -> cursor back to slice 0 (reference AGLMCMC.py:249
             # resets kk after the refit; elementwise to keep any sharding)
             carry = carry._replace(kk=carry.kk * 0)
+            pending_epoch = False
+        take = min(seg_len, total - done)
+        seg = seg_first if n_epochs == 0 else seg_rest
+        carry, outs = seg(pools, kdes, carry, take)
+        blocks.append(np.moveaxis(np.asarray(outs.theta), 0, 1))
+        if on_segment is not None:
+            on_segment(blocks[-1], done)
+        done += take
+        if take == seg_len:
+            if done < total:
+                pending_epoch = True
+            if checkpoint_path is not None:
+                save_epoch_ckpt(
+                    checkpoint_path,
+                    {"pools": pools, "kdes": kdes, "hat_eps": hat_eps,
+                     "carry": carry, "k_loop": k_loop, "n_epochs": n_epochs,
+                     "hat_eps_hist": (np.stack(hat_eps_hist)
+                                      if hat_eps_hist
+                                      else np.zeros((0,), np.float32))},
+                    done, take, seg_len, meta=ckpt_meta)
 
-    thetas = np.concatenate([theta_init] + blocks, axis=1)
+    head = [theta_init] if theta_init is not None else []
+    thetas = (np.concatenate(head + blocks, axis=1) if blocks or head
+              else np.zeros((C, 0, problem.theta_dim), np.float32))
     return AGLResult(
         thetas=thetas, counts=carry.counts, final_carry=carry,
         kde=kdes, hat_eps=np.asarray(hat_eps),

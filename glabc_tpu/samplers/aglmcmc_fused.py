@@ -109,6 +109,25 @@ class _AsyncBlocks:
         return self._done
 
 
+def _fused_final_carry(problem, d: int, theta_k, y_cur, logk, counts, key):
+    """Normalize a fused driver's packed state tiles to the scan path's
+    :class:`~glabc_tpu.samplers.aglmcmc.AGLCarry` (VERDICT r3 weak #7 — one
+    carry type across scan and fused drivers).
+
+    ``kk`` is 0 (fused segments always start at a fresh pool) and ``key`` is
+    the scan path's per-chain fold-in of the driver key; both are
+    *reconstructed*, not carried through the kernel — resume uses the packed
+    checkpoint state, never this normalized view."""
+    from .aglmcmc import AGLCarry
+
+    theta = jnp.asarray(np.asarray(theta_k)[:d, :].T)      # (C, d)
+    C = theta.shape[0]
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(jnp.asarray(key),
+                                                   jnp.arange(C))
+    return AGLCarry(theta, jnp.asarray(y_cur), jnp.asarray(logk),
+                    jnp.zeros((C,), jnp.int32), keys, counts)
+
+
 @functools.lru_cache(maxsize=64)
 def _make_init_pools(problem, P: int, C: int):
     @jax.jit
@@ -183,7 +202,9 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
                       on_segment=None, interpret: bool = False,
                       mesh=None, global_frequency: float = 1.0,
                       lp_scale: float = 0.35, shared_support: int = 4096,
-                      support_chunk: int = 512) -> AGLResult:
+                      support_chunk: int = 512,
+                      checkpoint_path: str | None = None,
+                      resume: bool = False) -> AGLResult:
     """AGLMCMC via the fused pool-iSIR Pallas kernels.
 
     ``global_frequency < 1`` dispatches to
@@ -222,7 +243,8 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
             block_chains=block_chains, collect_history=collect_history,
             y0=y0, seed=seed, on_segment=on_segment, interpret=interpret,
             mesh=mesh, lp_scale=lp_scale, shared_support=shared_support,
-            support_chunk=support_chunk)
+            support_chunk=support_chunk, checkpoint_path=checkpoint_path,
+            resume=resume)
     d = problem.theta_dim
     d_pad = max(_SUB, ((d + _SUB - 1) // _SUB) * _SUB)
     T, B, C = int(step_size), int(batch_size), int(num_chains)
@@ -279,8 +301,42 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     kdes = None
     done, steps_run, ep = 0, 0, 0
     total = num_ite - 1
+    pending_epoch = False
+
+    from ._fused_io import restore_epoch_ckpt, save_epoch_ckpt
+    ckpt_meta = {"sampler": "aglmcmc_fused", "num_chains": C,
+                 "theta_dim": d, "steps_per_call": T, "batch_size": B,
+                 "block_chains": block_chains}
+    restored = (restore_epoch_ckpt(checkpoint_path, ckpt_meta)
+                if resume and checkpoint_path is not None else None)
+    if restored is not None:
+        state, done = restored
+        pools, kdes, hat_eps = state["pools"], state["kdes"], state["hat_eps"]
+        theta_k, logw_k = state["theta_k"], state["logw_k"]
+        y_cur, logk = state["y_cur"], state["logk"]
+        g_acc = np.asarray(state["g_acc"], np.float64)
+        steps_run, ep = int(state["steps_run"]), int(state["ep"])
+        seed, k_loop = int(state["seed"]), state["k_loop"]
+        hat_eps_hist = [np.asarray(x) for x in
+                        np.asarray(state["hat_eps_hist"])]
+        pending_epoch = True
+        theta_init_row = None
+        if mesh is not None:
+            pools = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, chain_sh), pools)
+
     ptheta, plogw = pack(pools)
     while done < total:
+        if pending_epoch:
+            k_loop, k_ep = jax.random.split(k_loop)
+            pools, kdes, hat_eps = epoch_fn(
+                jax.random.split(k_ep, C), pools, hat_eps
+            )
+            hat_eps_hist.append(np.asarray(hat_eps))
+            ep += 1
+            ptheta, plogw = pack(pools)
+            logw_k = logw_kde(kdes, theta_k, logk)
+            pending_epoch = False
         take = min(T, total - done)
         theta_k, logw_k, sel, moved, hist = kern_run(
             np.int32((seed + ep) % (2**31 - 1)), ptheta, plogw,
@@ -297,20 +353,30 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
         g_acc += np.asarray(moved)[0] * (take / T)
         steps_run += take
         done += take
-        if done < total:
-            k_loop, k_ep = jax.random.split(k_loop)
-            pools, kdes, hat_eps = epoch_fn(
-                jax.random.split(k_ep, C), pools, hat_eps
-            )
-            hat_eps_hist.append(np.asarray(hat_eps))
-            ep += 1
-            ptheta, plogw = pack(pools)
-            logw_k = logw_kde(kdes, theta_k, logk)
+        if take == T:
+            if done < total:
+                pending_epoch = True
+            if checkpoint_path is not None:
+                save_epoch_ckpt(
+                    checkpoint_path,
+                    {"pools": pools, "kdes": kdes, "hat_eps": hat_eps,
+                     "theta_k": theta_k, "logw_k": logw_k, "y_cur": y_cur,
+                     "logk": logk, "g_acc": g_acc, "steps_run": steps_run,
+                     "ep": ep, "seed": seed, "k_loop": k_loop,
+                     "hat_eps_hist": (np.stack(hat_eps_hist)
+                                      if hat_eps_hist
+                                      else np.zeros((0,), np.float32))},
+                    done, take, T, meta=ckpt_meta)
 
     if collect_history and on_segment is None:
         blocks = async_blocks.blocks()
-    thetas = (np.concatenate([theta_init_row] + blocks, axis=1)
-              if collect_history else theta_init_row)
+    head = [theta_init_row] if theta_init_row is not None else []
+    if collect_history and (head or blocks):
+        thetas = np.concatenate(head + blocks, axis=1)
+    elif head:
+        thetas = theta_init_row
+    else:
+        thetas = np.zeros((C, 0, d), np.float32)
     att = np.full((C,), steps_run, np.int32)
     counts = MoveCounts(
         global_attempts=att,
@@ -320,9 +386,11 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     )
     return AGLResult(
         thetas=thetas, counts=counts,
-        final_carry=(theta_k, y_cur, logk, logw_k),
+        final_carry=_fused_final_carry(problem, d, theta_k, y_cur, logk,
+                                       counts, key),
         kde=kdes, hat_eps=np.asarray(hat_eps),
         hat_eps_hist=np.asarray(hat_eps_hist) if hat_eps_hist else None,
+        fused_state=(theta_k, y_cur, logk, logw_k),
     )
 
 
@@ -339,7 +407,10 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
                             lp_scale: float = 0.35,
                             shared_support: int = 4096,
                             support_chunk: int = 512,
-                            redraw_chunk: int = 512) -> AGLResult:
+                            redraw_chunk: int = 512,
+                            checkpoint_path: str | None = None,
+                            resume: bool = False,
+                            tile_program=None) -> AGLResult:
     """AGLMCMC at ``global_frequency < 1`` via the fused
     :class:`~glabc_tpu.ops.pallas.pool_isir_mixed_kernel.PoolISIRMixed`
     kernel (per-chain coin, in-kernel Mixture local RW move, in-kernel
@@ -349,7 +420,13 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
 
     * Mixture-family problem (``problem._noise_std`` set: simulator
       ``y = |theta| + sigma z``, standard-normal prior, Euclidean
-      discrepancy, Gaussian epsilon-kernel) — the local move is fused;
+      discrepancy, Gaussian epsilon-kernel) — the local move is fused —
+      **or** an explicit ``tile_program``
+      (:class:`~glabc_tpu.ops.pallas.generic_kernel.TileProgram` with
+      ``prior_lp``) lowering an arbitrary problem's local move, simulator,
+      prior, and epsilon-kernel to tile callables (the reference's local
+      move is problem-agnostic, ``AGLMCMC.py:255-272``; see
+      ``ma2_tile_program`` for a non-Mixture example);
     * shared (cross-chain) adaptation: one epsilon quantile over all pools
       and ONE ``shared_support``-point KDE per epoch
       (:func:`glabc_tpu.samplers.aglmcmc._shared_epoch_update`), because
@@ -369,14 +446,23 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
     epoch (``AGLMCMC.py:137-138``).
     """
     d = problem.theta_dim
-    sigma = getattr(problem, "_noise_std", None)
-    if sigma is None:
-        raise ValueError(
-            "run_aglmcmc_fused_mixed needs a Mixture-family problem (with "
-            "a Gaussian simulator noise scale) for the in-kernel local "
-            "move; use run_aglmcmc (scan) for arbitrary problems")
-    if problem.y_dim != d:
-        raise ValueError("Mixture-family kernels require y_dim == theta_dim")
+    if tile_program is None:
+        sigma = getattr(problem, "_noise_std", None)
+        if sigma is None:
+            raise ValueError(
+                "run_aglmcmc_fused_mixed needs a Mixture-family problem "
+                "(with a Gaussian simulator noise scale) for the in-kernel "
+                "local move, or an explicit tile_program= lowering the "
+                "problem to tile callables (see "
+                "glabc_tpu.ops.pallas.generic_kernel); run_aglmcmc (scan) "
+                "covers arbitrary problems without one")
+        if problem.y_dim != d:
+            raise ValueError(
+                "Mixture-family kernels require y_dim == theta_dim")
+        y_rows = d
+    else:
+        sigma = 0.0
+        y_rows = int(tile_program.y_rows)
     loc = getattr(initial_isir_proposal, "loc", None)
     log_scale = getattr(initial_isir_proposal, "log_scale", None)
     if loc is None or log_scale is None:
@@ -393,17 +479,24 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
                         seg_len - step_size)
 
     kern = PoolISIRMixed(
-        d, problem.y_obs, epsilon=problem.epsilon, sigma=sigma,
+        d, problem.y_obs if tile_program is None else None,
+        epsilon=problem.epsilon, sigma=sigma,
         global_frequency=gf, batch_size=B, steps_per_call=seg_len,
         lp_scale=lp_scale, block_chains=block_chains,
         n_support=shared_support, support_chunk=support_chunk,
-        collect_history=collect_history, interpret=interpret)
+        collect_history=collect_history, interpret=interpret,
+        program=tile_program)
     d_pad = kern.d_pad
 
     key = jnp.asarray(key)
     k_chain, k_pool, k_loop = jax.random.split(key, 3)
-    theta_k, y_k, logk_k = fused_state_init(problem, k_chain, theta0, C,
-                                            d_pad, y0=y0)
+    if tile_program is None:
+        theta_k, y_k, logk_k = fused_state_init(problem, k_chain, theta0, C,
+                                                d_pad, y0=y0)
+    else:
+        from .fused_program import program_state_init
+        theta_k, y_k, logk_k = program_state_init(problem, k_chain, theta0,
+                                                  C, d_pad, y_rows, y0=y0)
     theta_init_row = np.asarray(theta_k)[:d, :].T[:, None, :]  # (C, 1, d)
 
     pools = _make_init_pools(problem, P, C)(initial_isir_proposal, k_pool)
@@ -428,9 +521,16 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
                                              mesh)
     else:
         kern_run = kern.run
+        # clamp to the largest divisor of C (chain counts like 1280 with
+        # the default 512 would otherwise fail the epoch's divisibility
+        # check); 0 = unchunked
+        if redraw_chunk and redraw_chunk < C:
+            while C % redraw_chunk:
+                redraw_chunk -= 1
+        else:
+            redraw_chunk = 0
         epoch_fn = make_shared_epoch_fn(
-            problem, cfg, shared_support,
-            redraw_chunk=(redraw_chunk if redraw_chunk < C else 0))
+            problem, cfg, shared_support, redraw_chunk=redraw_chunk)
 
     pack = _make_pack(seg_len, B, d_pad, problem)
 
@@ -451,8 +551,42 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
     kde = None
     done, steps_run, ep = 0, 0, 0
     total = num_ite - 1
+    pending_epoch = False
+
+    from ._fused_io import restore_epoch_ckpt, save_epoch_ckpt
+    ckpt_meta = {"sampler": "aglmcmc_fused_mixed", "num_chains": C,
+                 "theta_dim": d, "seg_len": seg_len, "batch_size": B,
+                 "block_chains": block_chains,
+                 "shared_support": shared_support}
+    restored = (restore_epoch_ckpt(checkpoint_path, ckpt_meta)
+                if resume and checkpoint_path is not None else None)
+    if restored is not None:
+        state, done = restored
+        pools, kde, hat_eps = state["pools"], state["kde"], state["hat_eps"]
+        theta_k, y_k, logk_k = state["theta_k"], state["y_k"], state["logk_k"]
+        g_att = np.asarray(state["g_att"], np.float64)
+        g_acc = np.asarray(state["g_acc"], np.float64)
+        l_acc = np.asarray(state["l_acc"], np.float64)
+        steps_run, ep = int(state["steps_run"]), int(state["ep"])
+        seed, k_loop = int(state["seed"]), state["k_loop"]
+        hat_eps_hist = [np.asarray(x) for x in
+                        np.asarray(state["hat_eps_hist"])]
+        pending_epoch = True
+        theta_init_row = None
+        if mesh is not None:
+            pools = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, chain_sh), pools)
+
     packed = pack(pools)
     while done < total:
+        if pending_epoch:
+            k_loop, k_ep = jax.random.split(k_loop)
+            pools, kde, hat_eps = epoch_fn(k_ep, pools, hat_eps)
+            hat_eps_hist.append(np.asarray(hat_eps))
+            ep += 1
+            packed = pack(pools)
+            resident = resident_from_kde(kde, d_pad, kern.n_pad)
+            pending_epoch = False
         take = min(seg_len, total - done)
         theta_k, y_k, logk_k, gatt, gacc, lacc, hist = kern_run(
             np.int32((seed + ep) % (2**31 - 1)), resident, *packed,
@@ -471,18 +605,31 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
         l_acc += np.asarray(lacc)[0] * frac
         steps_run += take
         done += take
-        if done < total:
-            k_loop, k_ep = jax.random.split(k_loop)
-            pools, kde, hat_eps = epoch_fn(k_ep, pools, hat_eps)
-            hat_eps_hist.append(np.asarray(hat_eps))
-            ep += 1
-            packed = pack(pools)
-            resident = resident_from_kde(kde, d_pad, kern.n_pad)
+        if take == seg_len:
+            if done < total:
+                pending_epoch = True
+            if checkpoint_path is not None:
+                save_epoch_ckpt(
+                    checkpoint_path,
+                    {"pools": pools, "kde": kde, "hat_eps": hat_eps,
+                     "theta_k": theta_k, "y_k": y_k, "logk_k": logk_k,
+                     "g_att": g_att, "g_acc": g_acc, "l_acc": l_acc,
+                     "steps_run": steps_run, "ep": ep, "seed": seed,
+                     "k_loop": k_loop,
+                     "hat_eps_hist": (np.stack(hat_eps_hist)
+                                      if hat_eps_hist
+                                      else np.zeros((0,), np.float32))},
+                    done, take, seg_len, meta=ckpt_meta)
 
     if collect_history and on_segment is None:
         blocks = async_blocks.blocks()
-    thetas = (np.concatenate([theta_init_row] + blocks, axis=1)
-              if collect_history else theta_init_row)
+    head = [theta_init_row] if theta_init_row is not None else []
+    if collect_history and (head or blocks):
+        thetas = np.concatenate(head + blocks, axis=1)
+    elif head:
+        thetas = theta_init_row
+    else:
+        thetas = np.zeros((C, 0, d), np.float32)
     g_att_i = np.rint(g_att).astype(np.int32)
     counts = MoveCounts(
         global_attempts=g_att_i,
@@ -492,7 +639,11 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
     )
     return AGLResult(
         thetas=thetas, counts=counts,
-        final_carry=(theta_k, y_k, logk_k),
+        final_carry=_fused_final_carry(problem, d, theta_k,
+                                       np.asarray(y_k)[:y_rows, :].T,
+                                       logk_k[0],
+                                       counts, key),
         kde=kde, hat_eps=np.asarray(hat_eps),
         hat_eps_hist=np.asarray(hat_eps_hist) if hat_eps_hist else None,
+        fused_state=(theta_k, y_k, logk_k),
     )

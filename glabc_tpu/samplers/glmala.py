@@ -209,19 +209,37 @@ def run_glmala(problem, key, num_ite, theta0, importance_proposal,
                global_frequency=0.8, batch_size=5, tau=0.3, num_grad=100,
                y0=None, num_chains: int = 1, segment_size: int = 10_000,
                on_segment=None, grad_mode: str = "crn_fd",
-               refresh_grad_after_global: bool = False) -> SamplerResult:
+               refresh_grad_after_global: bool = False,
+               checkpoint_path: str | None = None,
+               resume: bool = False) -> SamplerResult:
+    """``checkpoint_path``/``resume``: the full :class:`GLMALACarry`
+    (theta, y, cached kernel value, gradient estimate, RNG keys, counters)
+    is snapshotted after every segment; ``resume=True`` continues exactly
+    where the run stopped, returning only post-resume history — same
+    contract as :func:`glabc_tpu.samplers.chain.sample_with_step`."""
+    import os
+
     cfg = GLMALAConfig(global_frequency, batch_size, tau, num_grad,
                        grad_mode=grad_mode,
                        refresh_grad_after_global=refresh_grad_after_global)
     step = build_glmala_step(problem, importance_proposal, cfg)
-    carry = init_glmala_carry(problem, key, theta0, cfg, y0, num_chains)
+    start = 0
+    carry = None
+    if resume and checkpoint_path is not None:
+        from ..utils.io import carry_path, load_carry
+        if os.path.exists(carry_path(checkpoint_path)):
+            carry, start = load_carry(checkpoint_path)
+    if carry is None:
+        carry = init_glmala_carry(problem, key, theta0, cfg, y0, num_chains)
+    include_init = start == 0
     theta_init = np.asarray(carry.theta)[:, None, :]
     batched_step = jax.vmap(step, in_axes=(0, None))
     carry, thetas = run_segmented(
-        batched_step, carry, num_ite - 1, segment_size, on_segment
+        batched_step, carry, (num_ite - 1) - start, segment_size, on_segment,
+        checkpoint_path=checkpoint_path, step_offset=start,
     )
-    if thetas.size:
+    if thetas.size and include_init:
         thetas = np.concatenate([theta_init, thetas], axis=1)
-    else:
+    elif not thetas.size:
         thetas = theta_init
     return SamplerResult(thetas=thetas, counts=carry.counts, final_carry=carry)

@@ -188,6 +188,10 @@ def build_nf_step(problem, local_proposal, cfg: GLMCMCNFConfig):
 class NFResult(SamplerResult):
     flow: Optional[CouplingFlow] = None
     loss_hist: Optional[np.ndarray] = None
+    # fused driver only: raw packed kernel tiles (theta (d_pad, C), y,
+    # log_kernel, carried pool log-weight); final_carry is the normalized
+    # scan-path carry
+    fused_state: Optional[tuple] = None
 
 
 def run_glmcmc_nf(problem, key, num_ite, theta0, local_proposal,
@@ -197,12 +201,20 @@ def run_glmcmc_nf(problem, key, num_ite, theta0, local_proposal,
                   on_segment=None, flow: CouplingFlow | None = None,
                   support_retries: int = 0,
                   train_on: str = "flow_is",
-                  train_iters_per_epoch: int = 1, mesh=None) -> NFResult:
+                  train_iters_per_epoch: int = 1, mesh=None,
+                  checkpoint_path: str | None = None,
+                  resume: bool = False) -> NFResult:
     """``mesh``: a 1-D :class:`jax.sharding.Mesh` shards the chain axis over
     devices; the transition scan partitions with zero collectives and the
     per-epoch flow refit runs data-parallel inside ``shard_map`` — per-device
     pool/state shards, ``pmean``-ed gradients, replicated flow (the
-    end-to-end distributed adaptation of SURVEY §2d)."""
+    end-to-end distributed adaptation of SURVEY §2d).
+
+    ``checkpoint_path``/``resume``: snapshot the full adaptation state
+    (flow + Adam moments, chain carry, RNG keys, training counters) after
+    every aligned segment; ``resume=True`` continues bitwise-identically
+    from the last snapshot, returning only post-resume history (see
+    :func:`glabc_tpu.samplers._fused_io.save_epoch_ckpt`)."""
     cfg = GLMCMCNFConfig(global_frequency, batch_size, step_size, train_steps,
                          n_layers, hidden, support_retries=support_retries,
                          train_on=train_on,
@@ -246,31 +258,68 @@ def run_glmcmc_nf(problem, key, num_ite, theta0, local_proposal,
     # steps in expectation.
     seg_len = max(1, int(round(step_size / max(global_frequency, 1e-6))))
 
+    from ._fused_io import restore_epoch_ckpt, save_epoch_ckpt
+    ckpt_meta = {"sampler": "glmcmc_nf", "num_chains": num_chains,
+                 "theta_dim": problem.theta_dim, "seg_len": seg_len,
+                 "n_layers": n_layers, "hidden": hidden,
+                 "train_on": train_on}
+    total = num_ite - 1
     blocks = []
-    losses = []
+    losses: list = []
     num_train = 0
     done = 0
-    total = num_ite - 1
+    pending_epoch = False
+    restored = (restore_epoch_ckpt(checkpoint_path, ckpt_meta)
+                if resume and checkpoint_path is not None else None)
+    if restored is not None:
+        state, done = restored
+        flow, opt_state, carry, k_train = (
+            state["flow"], state["opt_state"], state["carry"],
+            state["k_train"])
+        num_train = int(state["num_train"])
+        losses = [float(x) for x in np.asarray(state["losses"]).ravel()]
+        pending_epoch = True
+        theta_init = None
+        if mesh is not None:
+            from ..parallel.mesh import shard_chains
+            carry = shard_chains(carry, mesh)
+
     while done < total:
+        if pending_epoch:
+            # pre-epoch snapshots: the pending epoch replays bitwise on
+            # resume (see _fused_io module docstring)
+            if num_train < train_steps:
+                for _ in range(cfg.train_iters_per_epoch):
+                    k_train, k_ep = jax.random.split(k_train)
+                    if cfg.train_on == "chain_states":
+                        flow, opt_state, loss = train_states(
+                            flow, opt_state, carry.theta
+                        )
+                    else:
+                        flow, opt_state, loss = train(flow, opt_state, k_ep)
+                    losses.append(float(loss))
+                num_train += 1
+            pending_epoch = False
         take = min(seg_len, total - done)
         carry, outs = segment(flow, carry, take)
         blocks.append(np.moveaxis(np.asarray(outs.theta), 0, 1))
         if on_segment is not None:
             on_segment(blocks[-1], done)
         done += take
-        if done < total and num_train < train_steps:
-            for _ in range(cfg.train_iters_per_epoch):
-                k_train, k_ep = jax.random.split(k_train)
-                if cfg.train_on == "chain_states":
-                    flow, opt_state, loss = train_states(
-                        flow, opt_state, carry.theta
-                    )
-                else:
-                    flow, opt_state, loss = train(flow, opt_state, k_ep)
-                losses.append(float(loss))
-            num_train += 1
+        if take == seg_len:
+            if done < total:
+                pending_epoch = True
+            if checkpoint_path is not None:
+                save_epoch_ckpt(
+                    checkpoint_path,
+                    {"flow": flow, "opt_state": opt_state, "carry": carry,
+                     "k_train": k_train, "num_train": num_train,
+                     "losses": np.asarray(losses, np.float64)},
+                    done, take, seg_len, meta=ckpt_meta)
 
-    thetas = np.concatenate([theta_init] + blocks, axis=1)
+    head = [theta_init] if theta_init is not None else []
+    thetas = (np.concatenate(head + blocks, axis=1) if blocks or head
+              else np.zeros((num_chains, 0, problem.theta_dim), np.float32))
     return NFResult(
         thetas=thetas, counts=carry.counts, final_carry=carry,
         flow=flow, loss_hist=np.asarray(losses),

@@ -184,11 +184,18 @@ class TestDriverOracle:
         np.testing.assert_allclose(res.thetas, expected, atol=1e-6)
         np.testing.assert_array_equal(res.hat_eps_hist,
                                       np.stack(exp_eps_hist))
-        th_f, y_f, logk_f, logw_f = res.final_carry
+        th_f, y_f, logk_f, logw_f = res.fused_state
         np.testing.assert_allclose(np.asarray(th_f)[:d].T, theta, atol=1e-6)
         np.testing.assert_allclose(np.asarray(y_f), y, atol=1e-6)
         np.testing.assert_allclose(np.asarray(logk_f), logk, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(logw_f)[0], logw, rtol=1e-4)
+        # final_carry is normalized to the scan path's AGLCarry
+        from glabc_tpu.samplers.aglmcmc import AGLCarry
+        assert isinstance(res.final_carry, AGLCarry)
+        np.testing.assert_allclose(np.asarray(res.final_carry.theta), theta,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.final_carry.y), y,
+                                   atol=1e-6)
 
     def test_ragged_final_segment_shapes(self):
         res = run_aglmcmc_fused(PROB, KEY, 10, jnp.zeros(2), IP,
@@ -218,8 +225,8 @@ class TestShardedDriver:
                                   mesh=make_mesh(8), **kw)
         np.testing.assert_array_equal(res.thetas, res_m.thetas)
         np.testing.assert_array_equal(res.hat_eps, res_m.hat_eps)
-        np.testing.assert_allclose(np.asarray(res.final_carry[3]),
-                                   np.asarray(res_m.final_carry[3]),
+        np.testing.assert_allclose(np.asarray(res.fused_state[3]),
+                                   np.asarray(res_m.fused_state[3]),
                                    rtol=1e-6)
 
 
