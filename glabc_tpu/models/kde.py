@@ -121,7 +121,8 @@ class KernelDensity:
         return out[0] if squeeze else out
 
     # --------------------------------------------------------------- sample
-    def sample(self, key, num_samples: int = 1) -> jnp.ndarray:
+    def sample(self, key, num_samples: int = 1,
+               matmul_select: bool = False) -> jnp.ndarray:
         """Multinomial component pick + per-feature Gaussian noise
         (``kernel_density.py:130-156``).
 
@@ -132,7 +133,14 @@ class KernelDensity:
         a ~10^3-point support) is tens of GB per epoch; inverse-CDF is
         ``O(num_samples log support)`` with the same iid categorical law.
         Zero-weight (masked) rows have flat CDF segments and are never
-        selected."""
+        selected.
+
+        ``matmul_select=True`` replaces the final row gather ``X[idx]``
+        with a one-hot ``(num_samples, support) @ (support, d)`` matmul —
+        bitwise-identical output (each one-hot row has a single exact 1.0),
+        but the selection rides the MXU instead of the gather unit, which
+        matters when this is vmapped over 10^4 chains in the adaptation
+        epoch."""
         k_idx, k_noise = jax.random.split(key)
         cdf = jnp.cumsum(self.weights)
         u = jax.random.uniform(k_idx, (num_samples,)) * cdf[-1]
@@ -146,7 +154,15 @@ class KernelDensity:
             jnp.searchsorted(cdf, u, side="right", method="compare_all"),
             0, self.n_samples - 1)
         noise = jax.random.normal(k_noise, (num_samples, self.dim)) * self.bandwidth
-        return self.X[idx] + noise
+        if matmul_select:
+            onehot = (idx[:, None]
+                      == jnp.arange(self.n_samples)[None, :]).astype(
+                          jnp.float32)
+            picked = jnp.dot(onehot, self.X,
+                             preferred_element_type=jnp.float32)
+        else:
+            picked = self.X[idx]
+        return picked + noise
 
     def forward(self, key, num_samples: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
         samples = self.sample(key, num_samples)

@@ -24,6 +24,7 @@ __all__ = [
     "categorical_from_weights",
     "systematic_resample",
     "stable_partition_indices",
+    "stable_partition_take",
 ]
 
 
@@ -94,3 +95,27 @@ def stable_partition_indices(ok: jnp.ndarray) -> jnp.ndarray:
     pos = jnp.where(ok, rank_ok, n_ok + rank_bad)  # destination of row i
     return (jnp.zeros((n,), jnp.int32)
             .at[pos].set(jnp.arange(n, dtype=jnp.int32), unique_indices=True))
+
+
+def stable_partition_take(x: jnp.ndarray, ok: jnp.ndarray,
+                          n_take: int) -> jnp.ndarray:
+    """``x[stable_partition_indices(ok)[:n_take]]`` without the scatter or
+    the gather: the first ``n_take`` rows of the stable valid-first
+    permutation, selected by a one-hot ``(n_take, n) @ (n, d)`` matmul.
+
+    Bitwise-identical to the scatter+gather form (each one-hot row holds a
+    single exact 1.0), but the row movement runs on the MXU — scatters and
+    gathers serialize badly when this is vmapped over 10^4 chains in the
+    AGLMCMC adaptation epoch's oversampled-candidate filter
+    (``AGLMCMC.py:220-229``).
+    """
+    ok = ok.astype(bool)
+    n = ok.shape[0]
+    n_ok = jnp.sum(ok)
+    rank_ok = jnp.cumsum(ok) - 1
+    rank_bad = jnp.cumsum(~ok) - 1
+    dest = jnp.where(ok, rank_ok, n_ok + rank_bad)       # (n,) destinations
+    onehot = (jnp.arange(n_take, dtype=dest.dtype)[:, None]
+              == dest[None, :]).astype(jnp.float32)      # (n_take, n)
+    return jnp.dot(onehot, jnp.asarray(x, jnp.float32),
+                   preferred_element_type=jnp.float32)
