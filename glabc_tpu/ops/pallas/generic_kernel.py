@@ -138,6 +138,11 @@ class TileProgram:
     prior_diff_lp: Callable
     # current theta tile -> local RW proposal tile
     sample_local: Callable
+    # theta -> (1, C) log prior(theta) ALONE (no proposal term) — needed by
+    # pool-based kernels whose proposal density is the resident KDE,
+    # evaluated in-kernel (PoolISIRMixed); optional for the parametric
+    # GenericFusedGLMCMC path
+    prior_lp: Callable | None = None
 
 
 class GenericFusedGLMCMC:
@@ -359,11 +364,16 @@ def mixture_tile_program(problem, *, ip_loc=0.0, ip_scale=1.0,
         tl._mix_noise = n2
         return (th + lp_scale * n1) * tl.mask(d)
 
+    def prior_lp(tl, th):
+        z = (th - prior_loc) / prior_scale
+        per = (-0.5 * _LOG_2PI - np.log(prior_scale) - 0.5 * z * z)
+        return tl.rowsum(per, d)
+
     return TileProgram(theta_dim=d, y_rows=d, sample_global=sample_global,
                        simulate=simulate, log_kernel=log_kernel,
                        prior_minus_global_lp=prior_minus_global_lp,
                        prior_diff_lp=prior_diff_lp,
-                       sample_local=sample_local)
+                       sample_local=sample_local, prior_lp=prior_lp)
 
 
 def ma2_tile_program(problem, *, lp_scale=0.1) -> TileProgram:
@@ -460,8 +470,12 @@ def ma2_tile_program(problem, *, lp_scale=0.1) -> TileProgram:
     def sample_local(tl, th):
         return (th + lp_scale * tl.normal()) * tl.mask(2)
 
+    def prior_lp(tl, th):
+        # uniform over the area-4 triangle (MA2Problem.prior_log_prob)
+        return jnp.where(_inside(tl, th), float(np.log(0.25)), _NEG)
+
     return TileProgram(theta_dim=2, y_rows=3, sample_global=sample_global,
                        simulate=simulate, log_kernel=log_kernel,
                        prior_minus_global_lp=prior_minus_global_lp,
                        prior_diff_lp=prior_diff_lp,
-                       sample_local=sample_local)
+                       sample_local=sample_local, prior_lp=prior_lp)

@@ -31,10 +31,13 @@ and is consumed only if that step's coin is global — unconsumed slices are
 simply skipped.  Because every slice is an iid draw from the same epoch
 proposal, a skipped slice is statistically indistinguishable from the
 reference's sequential-cursor consumption (``AGLMCMC.py:130``), and the
-adaptation epoch trains on the FULL pool regardless of consumption exactly
-like the reference (``AGLMCMC.py:199-204`` reweights ``Theta_prop0``
+adaptation epoch trains on the FULL pool regardless of consumption, in the
+reference's manner (``AGLMCMC.py:199-204`` reweights ``Theta_prop0``
 entirely) — so no slack accounting is needed at all; segments are
 ``seg_len = round(step_size / gf)`` steps with ``seg_len`` pool slices.
+Note the training pool is therefore ``seg_len * B = (1/gf) * step_size * B``
+rows — 1/gf times the reference's ``step_size * B`` training set, a
+deliberate (variance-reducing) divergence documented in PARITY.md.
 The epoch-timing jitter vs the reference's consumed-slice trigger is the
 divergence class bounded by ``tests/test_aglmcmc_cadence.py``.
 
@@ -137,15 +140,34 @@ class PoolISIRMixed(ConfigHashable):
     like :class:`~glabc_tpu.ops.pallas.pool_isir_kernel.PoolISIR`.
     """
 
-    def __init__(self, theta_dim: int, y_obs, *, epsilon: float,
-                 sigma: float, global_frequency: float,
+    def __init__(self, theta_dim: int, y_obs=None, *, epsilon: float = 0.05,
+                 sigma: float = 0.05, global_frequency: float = 0.5,
                  batch_size: int = 5, steps_per_call: int = 400,
                  lp_scale: float = 0.35, prior_loc: float = 0.0,
                  prior_scale: float = 1.0, block_chains: int = 1024,
                  n_support: int = 4096, support_chunk: int = 512,
-                 collect_history: bool = True, interpret: bool = False):
+                 collect_history: bool = True, interpret: bool = False,
+                 program=None):
+        """``program``: an optional
+        :class:`~glabc_tpu.ops.pallas.generic_kernel.TileProgram` replacing
+        the hardcoded Mixture-family local move, prior, simulator, and
+        epsilon-kernel with arbitrary tile callables (the reference's local
+        move is problem-agnostic, ``AGLMCMC.py:255-272``); it must define
+        ``prior_lp``.  The iSIR-over-pool global move and the resident-KDE
+        proposal density are problem-independent either way.  With a
+        program, ``y_obs``/``epsilon``/``sigma``/``lp_scale``/``prior_*``
+        are ignored (the program closes over them) and the ``y`` state tile
+        carries ``program.y_rows`` live rows."""
         self.d = int(theta_dim)
         self.d_pad = max(_SUB, _round_up(self.d, _SUB))
+        self.p = program
+        if program is not None:
+            assert program.prior_lp is not None, (
+                "PoolISIRMixed needs TileProgram.prior_lp (standalone log "
+                "prior) for the carried-state iSIR weight")
+            assert program.theta_dim == self.d
+            assert program.y_rows <= self.d_pad
+            y_obs = np.zeros((self.d,), np.float32)  # unused with a program
         self.y_obs = np.broadcast_to(
             np.asarray(y_obs, np.float32).reshape(-1), (self.d,))
         self.eps = float(epsilon)
@@ -187,20 +209,46 @@ class PoolISIRMixed(ConfigHashable):
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (self.d_pad, 1), 0)
         mask = (rows < d).astype(jnp.float32)
-        y_obs = jnp.zeros((self.d_pad, 1), jnp.float32)
-        for j in range(d):
-            y_obs = jnp.where(rows == j, yobs_ref[j], y_obs)
 
-        def prior_lp(th):
-            z = (th - self.prior_loc) / self.prior_scale
-            per = (-0.5 * _LOG_2PI - np.log(self.prior_scale)
-                   - 0.5 * z * z) * mask
-            return jnp.sum(per, axis=0, keepdims=True)
+        if self.p is not None:
+            from .generic_kernel import TileLib
+            tl = TileLib(self.d_pad, C)
 
-        def kernel_lp(yv):
-            diff = (yv - y_obs) * mask
-            dis2 = jnp.sum(diff * diff, axis=0, keepdims=True)
-            return (-0.5 * _LOG_2PI - np.log(eps)) - 0.5 * dis2 / (eps * eps)
+            def prior_lp(th):
+                return self.p.prior_lp(tl, th)
+
+            def local_move(theta_, logk_):
+                thl_ = self.p.sample_local(tl, theta_)
+                yl_ = self.p.simulate(tl, thl_)
+                logkl_ = self.p.log_kernel(tl, yl_)
+                log_acc_ = (self.p.prior_diff_lp(tl, thl_, theta_)
+                            + logkl_ - logk_)
+                return thl_, yl_, logkl_, log_acc_
+        else:
+            y_obs = jnp.zeros((self.d_pad, 1), jnp.float32)
+            for j in range(d):
+                y_obs = jnp.where(rows == j, yobs_ref[j], y_obs)
+
+            def prior_lp(th):
+                z = (th - self.prior_loc) / self.prior_scale
+                per = (-0.5 * _LOG_2PI - np.log(self.prior_scale)
+                       - 0.5 * z * z) * mask
+                return jnp.sum(per, axis=0, keepdims=True)
+
+            def kernel_lp(yv):
+                diff = (yv - y_obs) * mask
+                dis2 = jnp.sum(diff * diff, axis=0, keepdims=True)
+                return ((-0.5 * _LOG_2PI - np.log(eps))
+                        - 0.5 * dis2 / (eps * eps))
+
+            def local_move(theta_, logk_):
+                n1, n2 = _normal_pair((self.d_pad, C))
+                thl_ = (theta_ + self.lp_scale * n1) * mask
+                yl_ = (jnp.abs(thl_) + sigma * n2) * mask
+                logkl_ = kernel_lp(yl_)
+                log_acc_ = (prior_lp(thl_) + logkl_
+                            - prior_lp(theta_) - logk_)
+                return thl_, yl_, logkl_, log_acc_
 
         theta = theta_ref[:]
         y = y_ref[:]
@@ -239,13 +287,9 @@ class PoolISIRMixed(ConfigHashable):
             b_logk = jnp.where(upd, plogk_ref[0, j:j + 1, :], b_logk)
             b_moved = jnp.where(upd, 1.0, b_moved)
 
-        # ---- local branch: Mixture random-walk MH
-        # (FusedMixtureGLMCMC local branch; reference AGLMCMC.py:255-289)
-        n1, n2 = _normal_pair((self.d_pad, C))
-        thl = (theta + self.lp_scale * n1) * mask
-        yl = (jnp.abs(thl) + sigma * n2) * mask
-        logkl = kernel_lp(yl)
-        l_log_acc = prior_lp(thl) + logkl - prior_lp(theta) - logk
+        # ---- local branch: random-walk MH (Mixture family hardcoded, or
+        # the TileProgram's arbitrary move; reference AGLMCMC.py:255-289)
+        thl, yl, logkl, l_log_acc = local_move(theta, logk)
         l_acc = jnp.log(_uniform((1, C))) < l_log_acc
         l_theta = jnp.where(l_acc, thl, theta)
         l_y = jnp.where(l_acc, yl, y)

@@ -300,3 +300,88 @@ class TestTPUParity:
                   / (C * (num_ite - 1)))
         assert abs(frac_g - 0.5) < 0.02, frac_g
         assert float(res_f.hat_eps) < 1.0
+
+
+class TestTileProgramMixed:
+    """gf<1 fused AGLMCMC on a NON-Mixture problem via tile_program=
+    (VERDICT r3 item 5): the in-kernel local move, prior, simulator, and
+    epsilon-kernel come from ``ma2_tile_program``; pool draws, weighting,
+    and the shared adaptation epochs stay on the problem-agnostic XLA path."""
+
+    def _run(self, num_ite=13, C=128, **kw):
+        from glabc_tpu.models.problems import MA2Problem
+        from glabc_tpu.ops.pallas.generic_kernel import ma2_tile_program
+
+        prob = MA2Problem(num_draws=16)
+        prog = ma2_tile_program(prob, lp_scale=0.1)
+        return prob, run_aglmcmc_fused_mixed(
+            prob, KEY, num_ite, jnp.zeros(2), IP, global_frequency=0.5,
+            batch_size=2, step_size=2, num_chains=C, block_chains=128,
+            shared_support=256, seed=3, interpret=True,
+            tile_program=prog, **kw)
+
+    def test_interpret_smoke_shapes_and_support(self):
+        prob, res = self._run()
+        assert res.thetas.shape == (128, 13, 2)
+        assert np.all(np.isfinite(res.thetas))
+        # every recorded state lies in the prior support (triangle): the
+        # pool candidates are prior-filtered on the XLA path and the
+        # in-kernel weights use the program's prior_lp
+        lp = np.asarray(prob.prior_log_prob(
+            jnp.asarray(res.thetas.reshape(-1, 2))))
+        assert np.all(lp > -1e20)
+
+    def test_resume_bitwise(self, tmp_path):
+        from glabc_tpu.models.problems import MA2Problem
+        from glabc_tpu.ops.pallas.generic_kernel import ma2_tile_program
+
+        prob = MA2Problem(num_draws=16)
+        prog = ma2_tile_program(prob, lp_scale=0.1)
+
+        def run(n, **kw):
+            return run_aglmcmc_fused_mixed(
+                prob, KEY, n, jnp.zeros(2), IP, global_frequency=0.5,
+                batch_size=2, step_size=2, num_chains=128,
+                block_chains=128, shared_support=256, seed=3,
+                interpret=True, tile_program=prog, **kw)
+
+        ck = str(tmp_path / "ma2_mixed.ckpt")
+        full = run(13)
+        short = run(9, checkpoint_path=ck)
+        resumed = run(13, checkpoint_path=ck, resume=True)
+        stitched = np.concatenate([short.thetas, resumed.thetas], axis=1)
+        np.testing.assert_array_equal(stitched, full.thetas)
+
+
+@pytest.mark.skipif(
+    not (ON_TPU or os.environ.get("GLABC_TPU_TESTS")),
+    reason="fused Pallas kernel needs a real TPU (interpret-mode PRNG is stubbed)",
+)
+class TestTPUTileProgramParity:
+    def test_ma2_posterior_parity_vs_scan(self):
+        """MA(2) gf=0.5 fused (tile_program) vs the scan path: posterior
+        moments and acceptance rates agree (different epoch cadence =>
+        statistical, not bitwise, comparison)."""
+        from glabc_tpu.models.problems import MA2Problem
+        from glabc_tpu.ops.pallas.generic_kernel import ma2_tile_program
+        from glabc_tpu.samplers.aglmcmc import run_aglmcmc
+
+        prob = MA2Problem(num_draws=100)
+        prog = ma2_tile_program(prob, lp_scale=0.1)
+        lp = DiagGaussian.create(2, 0.0, float(np.log(0.1)))
+        num_ite = 1601
+        res_f = run_aglmcmc_fused_mixed(
+            prob, KEY, num_ite, jnp.zeros(2), IP, global_frequency=0.5,
+            batch_size=5, step_size=200, num_chains=512, block_chains=256,
+            shared_support=1024, tile_program=prog)
+        res_s = run_aglmcmc(
+            prob, jax.random.PRNGKey(1), num_ite, jnp.zeros(2), lp, IP,
+            global_frequency=0.5, batch_size=5, step_size=200,
+            num_chains=128, shared_adaptation=True, shared_support=1024)
+        burn = 600
+        m_f = res_f.thetas[:, burn:, :].mean(axis=(0, 1))
+        m_s = res_s.thetas[:, burn:, :].mean(axis=(0, 1))
+        np.testing.assert_allclose(m_f, m_s, atol=0.1)
+        frac_g = (np.asarray(res_f.counts.global_attempts).sum()
+                  / (512 * (num_ite - 1)))
+        assert abs(frac_g - 0.5) < 0.03, frac_g
