@@ -81,6 +81,10 @@ def main():
         # the gf=1 pool-iSIR route and scan to the pooled default
         nf_method = "fused" if args.method == "fused" else "pooled"
         nf_gf = 1.0 if nf_method == "fused" else 0.5
+        if nf_method == "fused":
+            print("[GLMCMC-NF] --method fused runs the gf=1 pool-iSIR "
+                  "route (every move global); scan/pooled use gf=0.5",
+                  flush=True)
         ch = runner.run_glmcmc_nf(args.num_ite, theta0, None, nf_gf, lp,
                                   gp_base, 5, 200, 50,
                                   output_file="glmcmc_nf_results.csv",

@@ -208,6 +208,24 @@ class MCMCRunner:
             from .samplers.aglmcmc_fused import run_aglmcmc_fused
             extra = dict(kwargs)
             if float(global_frequency) < 1.0:
+                # the mixed kernel IMPLIES shared (cross-chain) adaptation —
+                # reject scan-path adaptation kwargs explicitly rather than
+                # letting them TypeError or silently change semantics
+                rejected = {k: extra.pop(k) for k in
+                            ("shared_adaptation", "epoch_chunk")
+                            if k in extra}
+                if rejected.get("shared_adaptation") is False:
+                    raise ValueError(
+                        "method='fused' at global_frequency < 1 runs the "
+                        "mixed pool-iSIR kernel, which requires shared "
+                        "(cross-chain) adaptation — per-chain KDE "
+                        "adaptation at gf < 1 is only available with "
+                        "method='scan'")
+                if "epoch_chunk" in rejected:
+                    raise ValueError(
+                        "epoch_chunk applies to the scan path's per-chain "
+                        "epochs; the gf<1 fused path uses shared adaptation "
+                        "(tune redraw_chunk/shared_support instead)")
                 extra.setdefault(
                     "lp_scale",
                     self._isotropic(local_proposal, "local proposal")[1])
