@@ -38,7 +38,14 @@ from plot import make_plots  # noqa: E402
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
 
 
-def run_both(num_ite: int, chains: int, marjoram_eps: float, seed: int):
+def run_both(num_ite: int, chains: int, marjoram_eps: float, seed: int,
+             matched: bool = False):
+    """``matched=False``: the two historical runs (Marjoram indicator at
+    ``marjoram_eps`` vs canonical GLMCMC Gaussian at 0.05 — DIFFERENT
+    smoothed targets, compare loosely).  ``matched=True``: GLMCMC runs with
+    the SAME indicator kernel at the SAME epsilon as Marjoram — identical
+    smoothed target, so only the Markov kernels differ (iSIR+RW mixture vs
+    pure RW) and the agreement tolerance can be MC-error tight."""
     lp = DiagGaussian.create(2, 0.0, float(jnp.log(0.35)))
     ip = DiagGaussian.create(2, 0.0, 0.0)
 
@@ -50,12 +57,21 @@ def run_both(num_ite: int, chains: int, marjoram_eps: float, seed: int):
                        batch_size=1, y0=marj.y_obs, num_chains=chains,
                        segment_size=min(num_ite, 50_000))
 
-    # GLMCMC: canonical Gaussian-kernel config (reference Mixture.py:73)
-    prob = MixtureProblem(0.05)
-    res_g = run_glmcmc(prob, jax.random.PRNGKey(seed + 1), num_ite,
-                       jnp.zeros(2), ip, lp, global_frequency=0.9,
-                       batch_size=5, num_chains=chains,
-                       segment_size=min(num_ite, 50_000))
+    if matched:
+        # GLMCMC on the *same* indicator-kernel target (start at the
+        # observation like Marjoram: the indicator needs dis <= eps at init)
+        res_g = run_glmcmc(marj, jax.random.PRNGKey(seed + 1), num_ite,
+                           jnp.array([1.5, 1.5]), ip, lp,
+                           global_frequency=0.9, batch_size=5,
+                           y0=marj.y_obs, num_chains=chains,
+                           segment_size=min(num_ite, 50_000))
+    else:
+        # GLMCMC: canonical Gaussian-kernel config (reference Mixture.py:73)
+        prob = MixtureProblem(0.05)
+        res_g = run_glmcmc(prob, jax.random.PRNGKey(seed + 1), num_ite,
+                           jnp.zeros(2), ip, lp, global_frequency=0.9,
+                           batch_size=5, num_chains=chains,
+                           segment_size=min(num_ite, 50_000))
     return res_m, res_g
 
 
@@ -77,11 +93,15 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     res_m, res_g = run_both(args.num_ite, args.chains, args.marjoram_eps,
                             args.seed)
+    _, res_gm = run_both(args.num_ite, args.chains, args.marjoram_eps,
+                         args.seed, matched=True)
 
     m_am, m_mean, m_var = moments(res_m.thetas)
     g_am, g_mean, g_var = moments(res_g.thetas)
+    gm_am, gm_mean, gm_var = moments(res_gm.thetas)
     m_acc = float(res_m.acceptance_rates()["local"].mean())
     g_acc = float(res_g.acceptance_rates()["overall"].mean())
+    gm_acc = float(res_gm.acceptance_rates()["overall"].mean())
 
     lines = [
         "# Marjoram vs GLMCMC cross-check",
@@ -96,21 +116,34 @@ def main():
         "`posterior_easyabc_Marjoram_fill.pdf` "
         "(/root/reference/glabcmcmc/examples/).",
         "",
-        "| statistic | Marjoram (indicator) | GLMCMC (Gaussian) |",
-        "|---|---|---|",
+        "| statistic | Marjoram (indicator) | GLMCMC matched "
+        f"(indicator eps={args.marjoram_eps}) | GLMCMC (Gaussian 0.05) |",
+        "|---|---|---|---|",
         f"| E\\|theta\\| per dim | {m_am[0]:.4f}, {m_am[1]:.4f} "
+        f"| {gm_am[0]:.4f}, {gm_am[1]:.4f} "
         f"| {g_am[0]:.4f}, {g_am[1]:.4f} |",
         f"| E theta per dim | {m_mean[0]:.4f}, {m_mean[1]:.4f} "
+        f"| {gm_mean[0]:.4f}, {gm_mean[1]:.4f} "
         f"| {g_mean[0]:.4f}, {g_mean[1]:.4f} |",
         f"| Var theta per dim | {m_var[0]:.4f}, {m_var[1]:.4f} "
+        f"| {gm_var[0]:.4f}, {gm_var[1]:.4f} "
         f"| {g_var[0]:.4f}, {g_var[1]:.4f} |",
-        f"| acceptance | {m_acc:.4f} | {g_acc:.4f} |",
+        f"| acceptance | {m_acc:.4f} | {gm_acc:.4f} | {g_acc:.4f} |",
         "",
-        "Both samplers target smoothed approximations of the same posterior "
-        "(indicator kernel at eps=0.3 vs Gaussian kernel at eps=0.05), so "
-        "moments agree within the kernel-smoothing difference; the "
-        "sign-symmetric 4-mode structure (E theta ~ 0, E|theta| ~ 1.42) is "
-        "the cross-checked invariant.",
+        "**Matched smoothing** (columns 1-2): both runs target the SAME "
+        "smoothed posterior (indicator kernel, same epsilon); only the "
+        "Markov kernels differ (pure RW vs iSIR+RW mixture), so E|theta| "
+        "must agree to MC error (asserted <= 0.03 in "
+        "tests/test_examples.py).  The Gaussian-0.05 column is the "
+        "canonical GLMCMC target — a DIFFERENT smoothing, compared "
+        "loosely (the historical check).",
+        "",
+        "**Mode coverage**: Marjoram's local-only RW cannot hop the 4 "
+        "sign-symmetric modes (the reference's own EasyABC posterior "
+        "figure shows one mode), while GLMCMC's global moves visit all "
+        "four — E theta differs by design (~1.4 vs ~0) and Var theta "
+        "differs accordingly; E|theta| is the mode-invariant statistic "
+        "compared above.",
     ]
     table = "\n".join(lines) + "\n"
     with open(os.path.join(OUT, "marjoram_crosscheck.md"), "w") as f:

@@ -74,9 +74,18 @@ def test_marjoram_crosscheck_agreement():
     finally:
         sys.path.pop(0)
 
-    res_m, res_g = run_both(num_ite=30_000, chains=16, marjoram_eps=0.3,
-                            seed=0)
+    # matched smoothing: GLMCMC runs with Marjoram's own indicator kernel
+    # at the same epsilon — identical smoothed target, only the Markov
+    # kernels differ, so the tolerance is MC-error tight (<= 0.03)
+    res_m, res_gm = run_both(num_ite=30_000, chains=16, marjoram_eps=0.3,
+                             seed=0, matched=True)
     m_am, _, _ = moments(res_m.thetas)
+    gm_am, _, _ = moments(res_gm.thetas)
+    np.testing.assert_allclose(m_am, gm_am, atol=0.03)
+
+    # historical cross-smoothing check (indicator 0.3 vs Gaussian 0.05 =
+    # different smoothed targets; loose band documents the smoothing gap)
+    _, res_g = run_both(num_ite=30_000, chains=16, marjoram_eps=0.3, seed=0)
     g_am, _, _ = moments(res_g.thetas)
     np.testing.assert_allclose(g_am, [1.4247, 1.4247], atol=0.05)
     np.testing.assert_allclose(m_am, g_am, atol=0.08)
