@@ -86,6 +86,47 @@ def bench_mixed(C, num_ite, step_size=200, gf=0.5, block_chains=1024,
             float(res.hat_eps), seg_rate)
 
 
+def bench_stress(num_ite, step_size=200):
+    """The driver's config-5 stress shape: dim-8 HighDim mixture, 10,240
+    chains, per-chain adaptation (chunked KDE refits) — the repo's worst
+    round-3 number (87k trans/s end-to-end); tracks the one-hot-matmul
+    epoch ops."""
+    from glabc_tpu.models.problems import HighDimMixtureProblem
+
+    prob = HighDimMixtureProblem(dim=8, epsilon=0.25)
+    ip = DiagGaussian.create(8, 0.0, 0.0)
+    C = 10240
+    key = jax.random.PRNGKey(0)
+    kw = dict(step_size=step_size, num_chains=C, block_chains=1024,
+              epoch_chunk=1024, collect_history=True)
+    run_aglmcmc_fused(prob, key, step_size + 2, jnp.zeros(8), ip, **kw)
+    t0 = time.perf_counter()
+    res = run_aglmcmc_fused(prob, key, num_ite, jnp.zeros(8), ip, **kw)
+    dt = time.perf_counter() - t0
+    acc = float(res.counts.global_accepts.sum()
+                / max(res.counts.global_attempts.sum(), 1))
+    return C * (num_ite - 1) / dt, dt, acc, float(res.hat_eps.mean())
+
+
+def bench_bigpool(C=131072, epochs=3, step_size=200, pack_chunk=25):
+    """131k chains x 1000-slot pools (the round-3 HBM ceiling): gf=1 fused
+    with pack_chunk sub-segment packing so only a slice of the pool is ever
+    in the kernel layout; history off (the transfer would dominate at
+    ~30 MB/s through the tunnel — throughput is the metric here)."""
+    key = jax.random.PRNGKey(0)
+    num_ite = 1 + epochs * step_size
+    kw = dict(step_size=step_size, num_chains=C, block_chains=2048,
+              epoch_chunk=1024, collect_history=False,
+              pack_chunk=pack_chunk)
+    run_aglmcmc_fused(PROB, key, step_size + 2, jnp.zeros(2), IP, **kw)
+    t0 = time.perf_counter()
+    res = run_aglmcmc_fused(PROB, key, num_ite, jnp.zeros(2), IP, **kw)
+    dt = time.perf_counter() - t0
+    acc = float(res.counts.global_accepts.sum()
+                / max(res.counts.global_attempts.sum(), 1))
+    return C * (num_ite - 1) / dt, dt, acc, float(res.hat_eps.mean())
+
+
 def bench_scan(C, num_ite, step_size=200, epoch_chunk=1024):
     key = jax.random.PRNGKey(0)
     ec = min(C, epoch_chunk)
@@ -103,7 +144,8 @@ def bench_scan(C, num_ite, step_size=200, epoch_chunk=1024):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="fused",
-                    choices=["fused", "scan", "both", "mixed"])
+                    choices=["fused", "scan", "both", "mixed", "stress",
+                             "bigpool"])
     ap.add_argument("--chains", type=int, nargs="+",
                     default=[4096, 16384, 32768])
     ap.add_argument("--epochs", type=int, default=10)
@@ -113,6 +155,17 @@ if __name__ == "__main__":
     num_ite = 1 + args.epochs * args.step_size
     print(f"backend={jax.devices()[0].platform} epochs={args.epochs} "
           f"step_size={args.step_size}")
+    if args.mode == "stress":
+        rate, dt, acc, eps = bench_stress(num_ite, args.step_size)
+        print(f"stress d=8 C=10240: {rate/1e6:9.2f}M trans/s end-to-end "
+              f"({dt:.2f}s) acc={acc:.3f} hat_eps={eps:.3f}")
+        raise SystemExit(0)
+    if args.mode == "bigpool":
+        rate, dt, acc, eps = bench_bigpool(epochs=args.epochs,
+                                           step_size=args.step_size)
+        print(f"bigpool C=131072 pack_chunk=25: {rate/1e6:9.1f}M trans/s "
+              f"end-to-end ({dt:.2f}s) acc={acc:.3f} hat_eps={eps:.3f}")
+        raise SystemExit(0)
     for C in args.chains:
         if args.mode in ("fused", "both"):
             # per-chain epoch peak is the (chunk, P, P) KDE log_prob

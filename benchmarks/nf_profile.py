@@ -9,6 +9,7 @@ Usage: python benchmarks/nf_profile.py [--chains 32768] [--flow-only]
 """
 
 import argparse
+import functools
 import os as _os
 import sys as _sys
 import time
@@ -53,20 +54,37 @@ def main():
     print(f"backend={jax.devices()[0].platform}", flush=True)
 
     if args.flow_only:
+        from glabc_tpu.ops.pallas.flow_kernel import (
+            flow_pull_fused,
+            flow_push_fused,
+        )
+
         N = args.rows
-        fwd = jax.jit(lambda f, k: f.forward(k, N))
-        out = timeit(f"flow.forward {N} rows", fwd, flow, key)
         flops = N * 32 * 2 * (128 * 128 + 128 * 1 + 128 * 2)
+
+        def report_tflops(label, dt):
+            print(f"  {label}: {flops/dt/1e12:.1f} TFLOP/s achieved",
+                  flush=True)
+
+        fwd = jax.jit(lambda f, k: f.forward(k, N))
+        timeit(f"XLA flow.forward {N} rows", fwd, flow, key)
         th = jax.random.normal(key, (N, 2))
+        th_t = th.T
         lp = jax.jit(lambda f, x: f.log_prob(x))
-        timeit(f"flow.log_prob {N} rows", lp, flow, th)
-        # rough achieved-FLOPs: re-time forward for the number
-        t0 = time.perf_counter()
-        jax.block_until_ready(fwd(flow, key))
-        dt = time.perf_counter() - t0
-        print(f"forward ~{flops/dt/1e12:.1f} TFLOP/s achieved "
-              f"({flops/1e12:.2f} TFLOP total)", flush=True)
-        del out
+        timeit(f"XLA flow.log_prob {N} rows", lp, flow, th)
+
+        for dt_name in ("float32", "bfloat16"):
+            push = jax.jit(functools.partial(
+                flow_push_fused, block_rows=2048, matmul_dtype=dt_name))
+            z_t = jax.random.normal(key, (2, N))
+            out = timeit(f"pallas push {dt_name} {N} rows", push, flow, z_t)
+            t0 = time.perf_counter()
+            jax.block_until_ready(push(flow, z_t))
+            report_tflops(f"push {dt_name}", time.perf_counter() - t0)
+            pull = jax.jit(functools.partial(
+                flow_pull_fused, block_rows=2048, matmul_dtype=dt_name))
+            timeit(f"pallas pull {dt_name} {N} rows", pull, flow, th_t)
+            del out
         return
 
     C, T, B = args.chains, args.steps, args.batch

@@ -204,7 +204,8 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
                       lp_scale: float = 0.35, shared_support: int = 4096,
                       support_chunk: int = 512,
                       checkpoint_path: str | None = None,
-                      resume: bool = False) -> AGLResult:
+                      resume: bool = False,
+                      pack_chunk: int = 0) -> AGLResult:
     """AGLMCMC via the fused pool-iSIR Pallas kernels.
 
     ``global_frequency < 1`` dispatches to
@@ -233,7 +234,17 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     chain-elementwise) all partition with zero collectives; the kernel runs
     per-device inside ``shard_map`` with tiled PRNG streams
     (:meth:`PoolISIR.make_sharded_run`).  Requires ``num_chains`` divisible
-    by ``block_chains * mesh size``."""
+    by ``block_chains * mesh size``.
+
+    ``pack_chunk``: pack and launch the segment in sub-segments of this
+    many steps (must divide ``step_size``): only a
+    ``(pack_chunk, B, d_pad, C)`` slice of the pool is ever held in the
+    kernel layout — at 131k chains the full packed pool alone is ~4 GB, so
+    sub-packing is what lifts the adaptive chain-count HBM ceiling.  The
+    Markov kernel is unchanged (same pool slices in the same order; PRNG
+    streams are per-launch, so trajectories differ bitwise from the
+    unchunked launch but are equally valid).  0 = pack the whole segment
+    (bitwise-compatible with earlier releases)."""
     if global_frequency < 1.0:
         return run_aglmcmc_fused_mixed(
             problem, key, num_ite, theta0, initial_isir_proposal,
@@ -251,7 +262,13 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     P = T * B
     cfg = AGLMCMCConfig(1.0, B, T, alpha, hat_eps_T, oversample, 0, 0)
 
-    kern = PoolISIR(d, batch_size=B, steps_per_call=T,
+    sub_T = int(pack_chunk) if pack_chunk else T
+    if T % sub_T:
+        raise ValueError(f"pack_chunk={pack_chunk} must divide "
+                         f"step_size={T}")
+    n_sub = T // sub_T
+
+    kern = PoolISIR(d, batch_size=B, steps_per_call=sub_T,
                     block_chains=block_chains,
                     collect_history=collect_history, interpret=interpret)
 
@@ -280,7 +297,7 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     else:
         kern_run = kern.run
 
-    pack = _make_pack(T, B, d_pad)
+    pack = _make_pack(sub_T, B, d_pad)
     state_init, logw_kde, resolve = _make_gf1_helpers(problem, d, d_pad, C)
     epoch_fn = make_epoch_fn(problem, cfg, C, epoch_chunk)
 
@@ -325,7 +342,15 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
             pools = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, chain_sh), pools)
 
-    ptheta, plogw = pack(pools)
+    def sub_pool(j):
+        if n_sub == 1:
+            return pools
+        lo = j * sub_T * B
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.slice_in_dim(x, lo, lo + sub_T * B, axis=1),
+            pools)
+
+    ptheta, plogw = None, None
     while done < total:
         if pending_epoch:
             k_loop, k_ep = jax.random.split(k_loop)
@@ -334,12 +359,16 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
             )
             hat_eps_hist.append(np.asarray(hat_eps))
             ep += 1
-            ptheta, plogw = pack(pools)
+            ptheta, plogw = None, None
             logw_k = logw_kde(kdes, theta_k, logk)
             pending_epoch = False
-        take = min(T, total - done)
+        j = (done % T) // sub_T
+        sp = sub_pool(j)
+        if n_sub > 1 or ptheta is None:
+            ptheta, plogw = pack(sp)
+        take = min(sub_T, total - done)
         theta_k, logw_k, sel, moved, hist = kern_run(
-            np.int32((seed + ep) % (2**31 - 1)), ptheta, plogw,
+            np.int32((seed + ep * n_sub + j) % (2**31 - 1)), ptheta, plogw,
             theta_k, logw_k,
         )
         if collect_history:
@@ -349,11 +378,11 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
                 blocks.append(block)
             else:
                 async_blocks.add(hist, take)
-        y_cur, logk = resolve(pools, sel, y_cur, logk)
-        g_acc += np.asarray(moved)[0] * (take / T)
+        y_cur, logk = resolve(sp, sel, y_cur, logk)
+        g_acc += np.asarray(moved)[0] * (take / sub_T)
         steps_run += take
         done += take
-        if take == T:
+        if take == sub_T and done % T == 0:
             if done < total:
                 pending_epoch = True
             if checkpoint_path is not None:
@@ -366,7 +395,7 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
                      "hat_eps_hist": (np.stack(hat_eps_hist)
                                       if hat_eps_hist
                                       else np.zeros((0,), np.float32))},
-                    done, take, T, meta=ckpt_meta)
+                    done, sub_T, sub_T, meta=ckpt_meta)
 
     if collect_history and on_segment is None:
         blocks = async_blocks.blocks()

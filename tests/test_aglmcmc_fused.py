@@ -299,3 +299,31 @@ class TestTPUParity:
         assert np.all(np.diff(eps_f) <= 1e-6) and np.all(np.diff(eps_s) <= 1e-6)
         np.testing.assert_allclose(eps_f[1:], eps_s[1:], rtol=0.15)
         assert abs(float(res_f.hat_eps.mean()) - float(res_s.hat_eps.mean())) < 0.1
+
+
+class TestPackChunk:
+    """pack_chunk sub-segment packing (the 131k-chain HBM lever): in
+    interpret mode the stubbed PRNG makes selection deterministic, so the
+    sub-packed run must reproduce the unchunked run exactly — the only
+    nominal difference is per-launch seeding."""
+
+    def test_subpacked_matches_unchunked(self):
+        kw = dict(batch_size=2, step_size=8, num_chains=128,
+                  block_chains=128, seed=0, interpret=True)
+        # 1 + 2*step_size: aligned end (a ragged tail runs the two
+        # configs different distances ahead of the recorded history)
+        ref = run_aglmcmc_fused(PROB, KEY, 17, jnp.zeros(2), IP, **kw)
+        sub = run_aglmcmc_fused(PROB, KEY, 17, jnp.zeros(2), IP,
+                                pack_chunk=2, **kw)
+        np.testing.assert_array_equal(ref.thetas, sub.thetas)
+        np.testing.assert_array_equal(ref.hat_eps, sub.hat_eps)
+        np.testing.assert_allclose(np.asarray(ref.fused_state[3]),
+                                   np.asarray(sub.fused_state[3]),
+                                   rtol=1e-6)
+
+    def test_bad_chunk_raises(self):
+        with pytest.raises(ValueError, match="divide"):
+            run_aglmcmc_fused(PROB, KEY, 10, jnp.zeros(2), IP,
+                              batch_size=2, step_size=8, num_chains=128,
+                              block_chains=128, pack_chunk=3,
+                              interpret=True)
