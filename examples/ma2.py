@@ -7,8 +7,10 @@ simulator, triangular-prior masking, box-uniform iSIR proposal) — see
 ``glabc_tpu.ops.pallas.generic_kernel``.
 
 Usage:
-    python examples/ma2.py --method fused --num-ite 10000   # TPU
-    python examples/ma2.py --method scan  --num-ite 2000    # any backend
+    python examples/ma2.py --method fused --num-ite 10000     # TPU
+    python examples/ma2.py --method scan  --num-ite 2000      # any backend
+    python examples/ma2.py --method aglmcmc --num-ite 4000    # adaptive,
+        # gf<1 fused mixed kernel on a NON-Mixture problem via tile_program
 """
 
 import os
@@ -29,7 +31,8 @@ from glabc_tpu import DiagGaussian, MA2Problem, Uniform, chain_summary
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--method", choices=["fused", "scan"], default="scan")
+    p.add_argument("--method", choices=["fused", "scan", "aglmcmc"],
+                   default="scan")
     p.add_argument("--num-ite", type=int, default=2000)
     p.add_argument("--chains", type=int, default=None)
     p.add_argument("--num-draws", type=int, default=100)
@@ -44,7 +47,20 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     theta0 = jnp.zeros(2)
     t0 = time.time()
-    if args.method == "fused":
+    if args.method == "aglmcmc":
+        # adaptive AGLMCMC at gf=0.5: pool-iSIR + the MA(2) local move
+        # fused in-kernel through the tile program; shared cross-chain
+        # KDE adaptation on the XLA path
+        from glabc_tpu.samplers.aglmcmc_fused import run_aglmcmc_fused_mixed
+        chains = args.chains or 4096
+        ip = DiagGaussian.create(2, 0.0, float(jnp.log(0.5)))
+        res = run_aglmcmc_fused_mixed(
+            prob, key, args.num_ite, theta0, ip, global_frequency=0.5,
+            batch_size=5, step_size=200, num_chains=chains,
+            block_chains=min(chains, 1024), shared_support=2048,
+            tile_program=prob.tile_program(lp_scale=0.1),
+            interpret=(jax.devices()[0].platform == "cpu"))
+    elif args.method == "fused":
         from glabc_tpu.samplers import run_fused_program
         chains = args.chains or 4096
         res = run_fused_program(prob, prob.tile_program(lp_scale=0.1), key,
