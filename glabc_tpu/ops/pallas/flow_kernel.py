@@ -115,8 +115,12 @@ class FusedCouplingFlow(ConfigHashable):
             u1 = u[0:d1, :]
             u2 = u[d1:d1 + d2, :]
 
-        u1p = jnp.zeros((self.d1_pad, u.shape[1]), mm).at[:d1].set(
-            u1.astype(mm))
+        # pad d1 -> d1_pad via concatenate: .at[].set lowers to scatter,
+        # which Mosaic does not implement inside kernels
+        u1p = u1.astype(mm)
+        if self.d1_pad > d1:
+            u1p = jnp.concatenate(
+                [u1p, jnp.zeros((self.d1_pad - d1, u.shape[1]), mm)], axis=0)
         h = jnp.dot(w0t_ref[l], u1p,
                     preferred_element_type=jnp.float32) + b0_ref[l]
         h = jnp.maximum(h, 0.0)

@@ -77,36 +77,60 @@ class _AsyncBlocks:
     out.  Used whenever no ``on_segment`` callback demands synchronous
     blocks.
 
+    ``add(hist, take)`` slices the kernel's padded ``(T, d_pad, C)`` buffer
+    down to ``(take, d, C)`` ON DEVICE before starting the copy: at d=2 the
+    sublane pad is 8, so copying the raw buffer moves 4x the real bytes —
+    and the device->host link (≈30 MB/s over the axon tunnel) is the
+    end-to-end bound of every history-on adaptive run.
+
     Only ``max_pending`` device buffers are held at once (a segment's
     history can be ~0.5 GB of HBM; keeping all of them alive until the end
     OOMs long runs) — older segments are materialized as soon as a newer
     one is enqueued, by which point their async copy has had a full
     segment of compute to complete."""
 
-    def __init__(self, d: int, max_pending: int = 2):
+    def __init__(self, d: int, max_pending: int = 2, post=None):
         self._d = d
         self._max = max(1, int(max_pending))
+        # materialized layout: (chains, take, d) by default
+        self._post = post or (lambda a: np.moveaxis(a, 2, 0))
         self._pending: list = []
         self._done: list = []
 
-    def _materialize(self, item) -> None:
-        h, take = item
-        self._done.append(
-            np.moveaxis(np.asarray(h)[:take, :self._d, :], 2, 0))
+    def _materialize(self, h) -> None:
+        self._done.append(self._post(np.asarray(h)))
 
-    def add(self, hist_dev, take: int) -> None:
+    def _enqueue(self, dev) -> None:
         try:
-            hist_dev.copy_to_host_async()
+            dev.copy_to_host_async()
         except (AttributeError, RuntimeError):
             pass  # multi-device arrays: np.asarray below still works
-        self._pending.append((hist_dev, take))
+        self._pending.append(dev)
         while len(self._pending) > self._max:
             self._materialize(self._pending.pop(0))
+
+    def add(self, hist_dev, take: int) -> None:
+        self._enqueue(hist_dev[:take, : self._d, :])
+
+    def add_raw(self, dev) -> None:
+        """Enqueue an already-sliced device array (``post`` still applies)."""
+        self._enqueue(dev)
 
     def blocks(self) -> list:
         while self._pending:
             self._materialize(self._pending.pop(0))
         return self._done
+
+
+@jax.jit
+def _acc_row(acc, row, frac):
+    """``acc (C,) += row[0] * frac`` on device — per-segment count
+    accumulation without a host sync (a ``np.asarray(moved)`` here queues
+    behind the in-flight history copy and stalls the dispatch pipeline a
+    full transfer per segment).  f32 is exact for integer counts < 2^24;
+    ``frac`` < 1 only on the ragged final segment (documented pro-rata
+    approximation)."""
+    return acc + row[0] * frac
 
 
 def _fused_final_carry(problem, d: int, theta_k, y_cur, logk, counts, key):
@@ -314,7 +338,7 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     hat_eps_hist: list[np.ndarray] = []
     blocks: list[np.ndarray] = []
     async_blocks = _AsyncBlocks(d)
-    g_acc = np.zeros((C,), np.float64)
+    g_acc = jnp.zeros((C,), jnp.float32)
     kdes = None
     done, steps_run, ep = 0, 0, 0
     total = num_ite - 1
@@ -331,7 +355,7 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
         pools, kdes, hat_eps = state["pools"], state["kdes"], state["hat_eps"]
         theta_k, logw_k = state["theta_k"], state["logw_k"]
         y_cur, logk = state["y_cur"], state["logk"]
-        g_acc = np.asarray(state["g_acc"], np.float64)
+        g_acc = jnp.asarray(state["g_acc"], jnp.float32)
         steps_run, ep = int(state["steps_run"]), int(state["ep"])
         seed, k_loop = int(state["seed"]), state["k_loop"]
         hat_eps_hist = [np.asarray(x) for x in
@@ -379,7 +403,7 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
             else:
                 async_blocks.add(hist, take)
         y_cur, logk = resolve(sp, sel, y_cur, logk)
-        g_acc += np.asarray(moved)[0] * (take / sub_T)
+        g_acc = _acc_row(g_acc, moved, take / sub_T)
         steps_run += take
         done += take
         if take == sub_T and done % T == 0:
@@ -409,7 +433,7 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     att = np.full((C,), steps_run, np.int32)
     counts = MoveCounts(
         global_attempts=att,
-        global_accepts=np.rint(g_acc).astype(np.int32),
+        global_accepts=np.rint(np.asarray(g_acc)).astype(np.int32),
         local_attempts=np.zeros((C,), np.int32),
         local_accepts=np.zeros((C,), np.int32),
     )
@@ -574,9 +598,9 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
     hat_eps_hist: list[np.ndarray] = []
     blocks: list[np.ndarray] = []
     async_blocks = _AsyncBlocks(d)
-    g_att = np.zeros((C,), np.float64)
-    g_acc = np.zeros((C,), np.float64)
-    l_acc = np.zeros((C,), np.float64)
+    g_att = jnp.zeros((C,), jnp.float32)
+    g_acc = jnp.zeros((C,), jnp.float32)
+    l_acc = jnp.zeros((C,), jnp.float32)
     kde = None
     done, steps_run, ep = 0, 0, 0
     total = num_ite - 1
@@ -593,9 +617,9 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
         state, done = restored
         pools, kde, hat_eps = state["pools"], state["kde"], state["hat_eps"]
         theta_k, y_k, logk_k = state["theta_k"], state["y_k"], state["logk_k"]
-        g_att = np.asarray(state["g_att"], np.float64)
-        g_acc = np.asarray(state["g_acc"], np.float64)
-        l_acc = np.asarray(state["l_acc"], np.float64)
+        g_att = jnp.asarray(state["g_att"], jnp.float32)
+        g_acc = jnp.asarray(state["g_acc"], jnp.float32)
+        l_acc = jnp.asarray(state["l_acc"], jnp.float32)
         steps_run, ep = int(state["steps_run"]), int(state["ep"])
         seed, k_loop = int(state["seed"]), state["k_loop"]
         hat_eps_hist = [np.asarray(x) for x in
@@ -629,9 +653,9 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
             else:
                 async_blocks.add(hist, take)
         frac = take / seg_len
-        g_att += np.asarray(gatt)[0] * frac
-        g_acc += np.asarray(gacc)[0] * frac
-        l_acc += np.asarray(lacc)[0] * frac
+        g_att = _acc_row(g_att, gatt, frac)
+        g_acc = _acc_row(g_acc, gacc, frac)
+        l_acc = _acc_row(l_acc, lacc, frac)
         steps_run += take
         done += take
         if take == seg_len:
@@ -659,12 +683,12 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
         thetas = theta_init_row
     else:
         thetas = np.zeros((C, 0, d), np.float32)
-    g_att_i = np.rint(g_att).astype(np.int32)
+    g_att_i = np.rint(np.asarray(g_att)).astype(np.int32)
     counts = MoveCounts(
         global_attempts=g_att_i,
-        global_accepts=np.rint(g_acc).astype(np.int32),
+        global_accepts=np.rint(np.asarray(g_acc)).astype(np.int32),
         local_attempts=(steps_run - g_att_i).astype(np.int32),
-        local_accepts=np.rint(l_acc).astype(np.int32),
+        local_accepts=np.rint(np.asarray(l_acc)).astype(np.int32),
     )
     return AGLResult(
         thetas=thetas, counts=counts,

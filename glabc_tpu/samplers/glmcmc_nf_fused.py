@@ -178,39 +178,65 @@ def make_pool_trainer(cfg: GLMCMCNFConfig, optimizer, num_chains: int,
 
 
 # ------------------------------------------------------------- pooled scan
+def _select_chains(coin, on_true, on_false):
+    """Per-chain pytree select: ``coin (C,)`` broadcast over trailing dims."""
+    def sel(a, b):
+        c = coin.reshape(coin.shape + (1,) * (a.ndim - 1))
+        return jnp.where(c, a, b)
+    return jax.tree_util.tree_map(sel, on_true, on_false)
+
+
 def _build_pooled_bodies(problem, local_proposal, cfg: GLMCMCNFConfig,
                          pool_slices: int):
-    """Per-chain global / local transition bodies over a precomputed pool.
+    """Batched global / local transition bodies over precomputed pools.
 
-    The global body takes the chain's current-state flow log-density
+    The global body takes each chain's current-state flow log-density
     (computed batched outside — ``GLMCMC_NFs.py:98``) and consumes pool
     slice ``kk`` (``:93-111``); the local body is the usual RW-MH move
-    (``:141-151``)."""
+    (``:141-151``).
+
+    Both bodies are written BATCHED over the chain axis with pool-slice
+    rows fetched by one ``take_along_axis`` per pool tensor and candidates
+    selected by a one-hot contraction: the earlier per-chain
+    ``dynamic_slice``/``thetas[ind]`` formulation under ``vmap`` lowered to
+    batched gathers that cost ~20 ms/step at 8k chains — 300x the rest of
+    the step body combined (``benchmarks/pooled_profile.py``).  Per-chain
+    PRNG semantics (one ``split`` of the chain key per step, ``k_move``
+    feeding the categorical / RW draws) are unchanged."""
     B = cfg.batch_size
 
-    def global_move(pool: Pool, logq_old, carry: AGLCarry):
-        key, k_move = jax.random.split(carry.key)
-        start = jnp.minimum(carry.kk, pool_slices - 1) * B
-        th_slice = jax.lax.dynamic_slice_in_dim(pool.theta, start, B)
-        x_slice = jax.lax.dynamic_slice_in_dim(pool.x, start, B)
-        dis_slice = jax.lax.dynamic_slice_in_dim(pool.dis, start, B)
-        logw_slice = jax.lax.dynamic_slice_in_dim(pool.log_w, start, B)
+    def global_move(pools: Pool, logq_old, carry: AGLCarry):
+        keys = jax.vmap(jax.random.split)(carry.key)         # (C, 2, 2)
+        key_next, k_move = keys[:, 0], keys[:, 1]
+        start = jnp.minimum(carry.kk, pool_slices - 1) * B   # (C,)
+        idx = start[:, None] + jnp.arange(B)[None, :]        # (C, B)
+        th_s = jnp.take_along_axis(pools.theta, idx[:, :, None], axis=1)
+        x_s = jnp.take_along_axis(pools.x, idx[:, :, None], axis=1)
+        dis_s = jnp.take_along_axis(pools.dis, idx, axis=1)
+        lw_s = jnp.take_along_axis(pools.log_w, idx, axis=1)
 
         log_w_old = (problem.prior_log_prob(carry.theta) + carry.log_kernel
-                     - logq_old)
-        log_w = jnp.concatenate([log_w_old[None], logw_slice])
-        ind = categorical_from_log_weights(k_move, log_w)
-        thetas = jnp.concatenate([carry.theta[None], th_slice])
-        ys = jnp.concatenate([carry.y[None], x_slice])
-        lks = jnp.concatenate(
-            [carry.log_kernel[None], problem.kernel_log_prob(dis_slice)])
+                     - logq_old)                              # (C,)
+        log_w = jnp.concatenate([log_w_old[:, None], lw_s], axis=1)
+        ind = jax.vmap(categorical_from_log_weights)(k_move, log_w)  # (C,)
+        cand_th = jnp.concatenate([carry.theta[:, None, :], th_s], axis=1)
+        cand_y = jnp.concatenate([carry.y[:, None, :], x_s], axis=1)
+        cand_lk = jnp.concatenate(
+            [carry.log_kernel[:, None], problem.kernel_log_prob(dis_s)],
+            axis=1)                                           # (C, B+1)
+        onehot = (ind[:, None] == jnp.arange(B + 1)[None, :]).astype(
+            cand_th.dtype)                                    # (C, B+1)
+        new_theta = jnp.einsum("cb,cbd->cd", onehot, cand_th)
+        new_y = jnp.einsum("cb,cbd->cd", onehot, cand_y)
+        new_lk = jnp.sum(onehot * cand_lk, axis=1)
         accepted = ind != 0
-        counts = carry.counts.update(jnp.bool_(True), accepted)
-        new = AGLCarry(thetas[ind], ys[ind], lks[ind], carry.kk + 1, key,
+        counts = carry.counts.update(jnp.ones_like(accepted), accepted)
+        new = AGLCarry(new_theta, new_y, new_lk, carry.kk + 1, key_next,
                        counts)
-        return new, StepOut(new.theta, accepted, jnp.bool_(True))
+        return new, StepOut(new_theta, accepted,
+                            jnp.ones_like(accepted))
 
-    def local_move(carry: AGLCarry):
+    def local_move_one(carry: AGLCarry):
         key, k_move = jax.random.split(carry.key)
         theta, y, lk, accepted = local_rw_move(
             problem, local_proposal, k_move, carry.theta, carry.y,
@@ -219,7 +245,7 @@ def _build_pooled_bodies(problem, local_proposal, cfg: GLMCMCNFConfig,
         new = AGLCarry(theta, y, lk, carry.kk, key, counts)
         return new, StepOut(theta, accepted, jnp.bool_(False))
 
-    return global_move, local_move
+    return global_move, jax.vmap(local_move_one)
 
 
 def _pytree_key(tree):
@@ -255,10 +281,8 @@ def make_pooled_segment(problem, local_proposal, flow_template,
     if cache_key in _SEGMENT_CACHE:
         return _SEGMENT_CACHE[cache_key]
     gf = cfg.global_frequency
-    global_move, local_move = _build_pooled_bodies(
+    v_global, v_local = _build_pooled_bodies(
         problem, local_proposal, cfg, pool_slices)
-    v_global = jax.vmap(global_move, in_axes=(0, 0, 0))
-    v_local = jax.vmap(local_move)
 
     if flow_backend == "pallas":
         from ..ops.pallas.flow_kernel import flow_pull_fused
@@ -291,15 +315,10 @@ def make_pooled_segment(problem, local_proposal, flow_template,
                 logq = batched_logq(flow, c.theta)
                 coins = (jax.random.uniform(k_step, (c.theta.shape[0],))
                          < gf)
-
-                def one(coin, pool, lq, cc):
-                    return jax.lax.cond(
-                        coin,
-                        lambda: global_move(pool, lq, cc),
-                        lambda: local_move(cc),
-                    )
-
-                return jax.vmap(one)(coins, pools, logq, c)
+                g_carry, g_out = v_global(pools, logq, c)
+                l_carry, l_out = v_local(c)
+                return (_select_chains(coins, g_carry, l_carry),
+                        _select_chains(coins, g_out, l_out))
 
             keys = jax.random.split(coin_key, length)
             return jax.lax.scan(body, carry, keys)
@@ -366,7 +385,11 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
     k_loop, k_pool0 = jax.random.split(k_loop)
     pools = pool_fn(flow, k_pool0)
 
+    from .aglmcmc_fused import _AsyncBlocks
     blocks, losses = [], []
+    # scan-path history is (take, C, d): unpadded, so only the transfer is
+    # deferred (no device-side slice needed)
+    async_blocks = _AsyncBlocks(d, post=lambda a: np.moveaxis(a, 0, 1))
     num_train = 0
     done, total = 0, num_ite - 1
     pending_epoch = False
@@ -396,7 +419,7 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
             k_loop, k_tr, k_pl = jax.random.split(k_loop, 3)
             if num_train < train_steps:
                 flow, opt_state, loss = train(flow, opt_state, pools, k_tr)
-                losses.append(float(loss))
+                losses.append(loss)  # device scalar; materialized at the end
                 num_train += 1
             pools = pool_fn(flow, k_pl)
             carry = carry._replace(kk=carry.kk * 0)
@@ -404,9 +427,11 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
         take = min(seg_len, total - done)
         k_loop, k_coin = jax.random.split(k_loop)
         carry, outs = segment(flow, pools, carry, k_coin, take)
-        blocks.append(np.moveaxis(np.asarray(outs.theta), 0, 1))
         if on_segment is not None:
+            blocks.append(np.moveaxis(np.asarray(outs.theta), 0, 1))
             on_segment(blocks[-1], done)
+        else:
+            async_blocks.add_raw(outs.theta)
         done += take
         if take == seg_len:
             if done < total:
@@ -417,15 +442,18 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
                     {"flow": flow, "opt_state": opt_state, "pools": pools,
                      "carry": carry, "k_loop": k_loop,
                      "num_train": num_train,
-                     "losses": np.asarray(losses, np.float64)},
+                     "losses": np.asarray([float(x) for x in losses],
+                                          np.float64)},
                     done, take, seg_len, meta=ckpt_meta)
 
+    if on_segment is None:
+        blocks = async_blocks.blocks()
     head = [theta_init] if theta_init is not None else []
     thetas = (np.concatenate(head + blocks, axis=1) if blocks or head
               else np.zeros((C, 0, d), np.float32))
     return NFResult(
         thetas=thetas, counts=carry.counts, final_carry=carry,
-        flow=flow, loss_hist=np.asarray(losses),
+        flow=flow, loss_hist=np.asarray([float(x) for x in losses]),
     )
 
 
@@ -533,10 +561,10 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
         seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
                                       0, 2**31 - 1))
 
-    from .aglmcmc_fused import _AsyncBlocks, _fused_final_carry
+    from .aglmcmc_fused import _AsyncBlocks, _acc_row, _fused_final_carry
     blocks, losses = [], []
     async_blocks = _AsyncBlocks(d)
-    g_acc = np.zeros((C,), np.float64)
+    g_acc = jnp.zeros((C,), jnp.float32)
     num_train = 0
     done, steps_run, ep = 0, 0, 0
     total = num_ite - 1
@@ -555,7 +583,7 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
                                   state["pools"])
         theta_k, logw_k = state["theta_k"], state["logw_k"]
         y_cur, logk = state["y_cur"], state["logk"]
-        g_acc = np.asarray(state["g_acc"], np.float64)
+        g_acc = jnp.asarray(state["g_acc"], jnp.float32)
         steps_run, ep = int(state["steps_run"]), int(state["ep"])
         num_train = int(state["num_train"])
         seed, k_loop = int(state["seed"]), state["k_loop"]
@@ -569,7 +597,9 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
             k_loop, k_tr, k_pl = jax.random.split(k_loop, 3)
             if num_train < train_steps:
                 flow, opt_state, loss = train(flow, opt_state, pools, k_tr)
-                losses.append(float(loss))
+                # device scalar; float() here would sync behind the
+                # in-flight history copy — materialized at the end
+                losses.append(loss)
                 num_train += 1
             pools = pool_fn(flow, k_pl)
             ep += 1
@@ -588,7 +618,7 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
             else:
                 async_blocks.add(hist, take)
         y_cur, logk = resolve(pools, sel, y_cur, logk)
-        g_acc += np.asarray(moved)[0] * (take / T)
+        g_acc = _acc_row(g_acc, moved, take / T)
         steps_run += take
         done += take
         if take == T:
@@ -602,7 +632,8 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
                      "logk": logk, "g_acc": g_acc, "steps_run": steps_run,
                      "ep": ep, "num_train": num_train, "seed": seed,
                      "k_loop": k_loop,
-                     "losses": np.asarray(losses, np.float64)},
+                     "losses": np.asarray([float(x) for x in losses],
+                                          np.float64)},
                     done, take, T, meta=ckpt_meta)
 
     if collect_history and on_segment is None:
@@ -617,7 +648,7 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
     att = np.full((C,), steps_run, np.int32)
     counts = MoveCounts(
         global_attempts=att,
-        global_accepts=np.rint(g_acc).astype(np.int32),
+        global_accepts=np.rint(np.asarray(g_acc)).astype(np.int32),
         local_attempts=np.zeros((C,), np.int32),
         local_accepts=np.zeros((C,), np.int32),
     )
@@ -625,6 +656,6 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
         thetas=thetas, counts=counts,
         final_carry=_fused_final_carry(problem, d, theta_k, y_cur, logk,
                                        counts, key),
-        flow=flow, loss_hist=np.asarray(losses),
+        flow=flow, loss_hist=np.asarray([float(x) for x in losses]),
         fused_state=(theta_k, y_cur, logk, logw_k),
     )
