@@ -28,30 +28,21 @@ LP = DiagGaussian.create(2, 0.0, float(jnp.log(0.35)))
 
 
 def bench_fused(C, num_ite, step_size=200, block_chains=1024,
-                collect_history=True, epoch_chunk=0):
+                collect_history=True, epoch_chunk=0, epoch_logp_chunk=0):
     key = jax.random.PRNGKey(0)
     # warm up compiles on a short run — step_size + 2 so ONE adaptation
     # epoch compiles too (step_size + 1 would skip it and the timed run
     # would include the epoch_fn compile)
-    run_aglmcmc_fused(PROB, key, step_size + 2, jnp.zeros(2), IP,
-                      step_size=step_size, num_chains=C,
-                      block_chains=block_chains,
-                      collect_history=collect_history,
-                      epoch_chunk=epoch_chunk)
+    kw = dict(step_size=step_size, num_chains=C, block_chains=block_chains,
+              collect_history=collect_history, epoch_chunk=epoch_chunk,
+              epoch_logp_chunk=epoch_logp_chunk)
+    run_aglmcmc_fused(PROB, key, step_size + 2, jnp.zeros(2), IP, **kw)
     # kernel+driver-only rate: one segment, no epoch
     t0 = time.perf_counter()
-    run_aglmcmc_fused(PROB, key, step_size + 1, jnp.zeros(2), IP,
-                      step_size=step_size, num_chains=C,
-                      block_chains=block_chains,
-                      collect_history=collect_history,
-                      epoch_chunk=epoch_chunk)
+    run_aglmcmc_fused(PROB, key, step_size + 1, jnp.zeros(2), IP, **kw)
     seg_rate = C * step_size / (time.perf_counter() - t0)
     t0 = time.perf_counter()
-    res = run_aglmcmc_fused(PROB, key, num_ite, jnp.zeros(2), IP,
-                            step_size=step_size, num_chains=C,
-                            block_chains=block_chains,
-                            collect_history=collect_history,
-                            epoch_chunk=epoch_chunk)
+    res = run_aglmcmc_fused(PROB, key, num_ite, jnp.zeros(2), IP, **kw)
     dt = time.perf_counter() - t0
     trans = C * (num_ite - 1)
     burn = min(2 * step_size, (num_ite - 1) // 2)
@@ -86,11 +77,13 @@ def bench_mixed(C, num_ite, step_size=200, gf=0.5, block_chains=1024,
             float(res.hat_eps), seg_rate)
 
 
-def bench_stress(num_ite, step_size=200):
+def bench_stress(num_ite, step_size=200, collect_history=True):
     """The driver's config-5 stress shape: dim-8 HighDim mixture, 10,240
     chains, per-chain adaptation (chunked KDE refits) — the repo's worst
     round-3 number (87k trans/s end-to-end); tracks the one-hot-matmul
-    epoch ops."""
+    epoch ops.  With history on the device->host tunnel (~30 MB/s) alone
+    caps this config at ~0.9M trans/s (656 MB of d=8 history); pass
+    --no-history for the compute-bound number."""
     from glabc_tpu.models.problems import HighDimMixtureProblem
 
     prob = HighDimMixtureProblem(dim=8, epsilon=0.25)
@@ -98,7 +91,8 @@ def bench_stress(num_ite, step_size=200):
     C = 10240
     key = jax.random.PRNGKey(0)
     kw = dict(step_size=step_size, num_chains=C, block_chains=1024,
-              epoch_chunk=1024, collect_history=True)
+              epoch_chunk=2048, epoch_logp_chunk=250,
+              collect_history=collect_history)
     run_aglmcmc_fused(prob, key, step_size + 2, jnp.zeros(8), ip, **kw)
     t0 = time.perf_counter()
     res = run_aglmcmc_fused(prob, key, num_ite, jnp.zeros(8), ip, **kw)
@@ -116,7 +110,7 @@ def bench_bigpool(C=131072, epochs=3, step_size=200, pack_chunk=25):
     key = jax.random.PRNGKey(0)
     num_ite = 1 + epochs * step_size
     kw = dict(step_size=step_size, num_chains=C, block_chains=2048,
-              epoch_chunk=1024, collect_history=False,
+              epoch_chunk=512, epoch_logp_chunk=250, collect_history=False,
               pack_chunk=pack_chunk)
     run_aglmcmc_fused(PROB, key, step_size + 2, jnp.zeros(2), IP, **kw)
     t0 = time.perf_counter()
@@ -151,12 +145,15 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--step-size", type=int, default=200)
     ap.add_argument("--no-history", action="store_true")
+    ap.add_argument("--epoch-chunk", type=int, default=0)
+    ap.add_argument("--logp-chunk", type=int, default=0)
     args = ap.parse_args()
     num_ite = 1 + args.epochs * args.step_size
     print(f"backend={jax.devices()[0].platform} epochs={args.epochs} "
           f"step_size={args.step_size}")
     if args.mode == "stress":
-        rate, dt, acc, eps = bench_stress(num_ite, args.step_size)
+        rate, dt, acc, eps = bench_stress(num_ite, args.step_size,
+                                          collect_history=not args.no_history)
         print(f"stress d=8 C=10240: {rate/1e6:9.2f}M trans/s end-to-end "
               f"({dt:.2f}s) acc={acc:.3f} hat_eps={eps:.3f}")
         raise SystemExit(0)
@@ -170,10 +167,11 @@ if __name__ == "__main__":
         if args.mode in ("fused", "both"):
             # per-chain epoch peak is the (chunk, P, P) KDE log_prob
             # intermediate (~4 MB/chain at P=1000): chunk to ~4 GB HBM
-            ec = min(C, 1024)
+            ec = args.epoch_chunk or min(C, 1024)
             rate, dt, absmean, acc, eps, seg_rate = bench_fused(
                 C, num_ite, args.step_size,
-                collect_history=not args.no_history, epoch_chunk=ec)
+                collect_history=not args.no_history, epoch_chunk=ec,
+                epoch_logp_chunk=args.logp_chunk)
             print(f"fused  C={C:7d}: {rate/1e6:9.1f}M trans/s end-to-end "
                   f"({dt:.2f}s), {seg_rate/1e6:9.1f}M kernel-segment  "
                   f"acc={acc:.3f} hat_eps={eps:.3f} absmean={absmean}")

@@ -161,10 +161,15 @@ def main():
     hat_eps = jnp.full((C,), 1.0e6, jnp.float32)
     keys = jax.random.split(key, C)
 
-    # --- full epoch
+    # --- full epoch (epoch_fn donates pools/hat_eps: feed copies per call)
     cfg = AGLMCMCConfig(1.0, B, P // B, 0.8, 0.2, 4, 0, 0)
     epoch = make_epoch_fn(prob, cfg, C, min(args.chunk, C))
-    timeit("FULL epoch (chunked)", epoch, keys, pools, hat_eps)
+
+    def epoch_fresh():
+        p = jax.tree_util.tree_map(lambda x: x.copy(), pools)
+        return epoch(keys, p, hat_eps.copy())
+
+    timeit("FULL epoch (chunked)", epoch_fresh)
 
     # --- components, vmapped unchunked at a size that fits
     Cs = min(C, args.chunk)

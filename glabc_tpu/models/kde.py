@@ -86,7 +86,8 @@ class KernelDensity:
         return KernelDensity(X=X, weights=w, bandwidth=bw)
 
     # ------------------------------------------------------------- log_prob
-    def log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
+    def log_prob(self, x: jnp.ndarray,
+                 support_chunk: int = 0) -> jnp.ndarray:
         """Log-density at ``x`` of shape ``(..., d)`` -> ``(...,)``.
 
         The reference materializes the ``(points, support, d)`` broadcast
@@ -95,6 +96,14 @@ class KernelDensity:
         ``x' = x / h``) so the cross term is a ``(points, d) @ (d, support)``
         matmul — it runs on the MXU and the peak intermediate is the
         ``(points, support)`` distance matrix, not ``(points, support, d)``.
+
+        ``support_chunk > 0`` streams that matrix over support chunks with a
+        running (max, scaled-sum) logsumexp — peak ``(points, chunk)`` —
+        the same formulation as the resident-mixture kernel's in-VMEM
+        density (``pool_isir_mixed_kernel.py``).  Vmapped over 10^3-10^5
+        chains in the AGLMCMC adaptation epochs the full matrix is
+        gigabytes; streaming is what lifts the epoch HBM ceiling.  Result
+        differs from the unchunked path only by reduction order (~1 ulp).
         """
         x = jnp.asarray(x, jnp.float32)
         squeeze = x.ndim == 1
@@ -103,20 +112,56 @@ class KernelDensity:
         lead = x.shape[:-1]
         xs = (x / self.bandwidth).reshape(-1, self.dim)          # (p, d)
         Xs = self.X / self.bandwidth                             # (n, d)
-        cross = jnp.dot(xs, Xs.T, preferred_element_type=jnp.float32)
-        sq = (
-            jnp.sum(jnp.square(xs), axis=-1)[:, None]
-            - 2.0 * cross
-            + jnp.sum(jnp.square(Xs), axis=-1)[None, :]
-        )                                                        # (p, n)
-        sq = jnp.maximum(sq, 0.0)  # guard cancellation at tiny distances
-        log_kernel = (
-            -0.5 * sq
-            - 0.5 * self.dim * _LOG_2PI
-            - jnp.sum(jnp.log(self.bandwidth))
-        )
-        log_weighted = log_kernel + jnp.log(self.weights + 1e-10)
-        out = jax.scipy.special.logsumexp(log_weighted, axis=-1)
+        log_const = (-0.5 * self.dim * _LOG_2PI
+                     - jnp.sum(jnp.log(self.bandwidth)))
+        xs_sq = jnp.sum(jnp.square(xs), axis=-1)                 # (p,)
+
+        def weighted_kernel(Xs_c, w_c):
+            """log(K(x, X_c) * (w_c + 1e-10)) block, shape (p, nc)."""
+            cross = jnp.dot(xs, Xs_c.T, preferred_element_type=jnp.float32)
+            sq = (xs_sq[:, None] - 2.0 * cross
+                  + jnp.sum(jnp.square(Xs_c), axis=-1)[None, :])
+            sq = jnp.maximum(sq, 0.0)  # guard cancellation at tiny distances
+            return -0.5 * sq + log_const + jnp.log(w_c + 1e-10)
+
+        n = self.n_samples
+        if not (support_chunk and support_chunk < n):
+            out = jax.scipy.special.logsumexp(
+                weighted_kernel(Xs, self.weights), axis=-1)
+        else:
+            cn = int(support_chunk)
+            n_blk = -(-n // cn)
+            pad = n_blk * cn - n
+            Xp = jnp.pad(Xs, ((0, pad), (0, 0)))
+            # pad rows are masked to -inf below (NOT weight 0: the
+            # reference's +1e-10 gives even zero-weight rows mass, and the
+            # unchunked path has exactly n rows)
+            wp = jnp.pad(self.weights, (0, pad))
+            valid = jnp.pad(jnp.ones((n,), bool), (0, pad))
+            p = xs.shape[0]
+
+            def body(carry, blk):
+                m, s = carry
+                Xc, wc, vc = blk
+                lw = jnp.where(vc[None, :], weighted_kernel(Xc, wc),
+                               -jnp.inf)                          # (p, cn)
+                bm = jnp.max(lw, axis=-1)
+                new_m = jnp.maximum(m, bm)
+                # exp(-inf - -inf) guards: new_m == -inf only while every
+                # term so far is -inf; keep s at 0 there
+                scale = jnp.where(jnp.isneginf(new_m), 0.0,
+                                  jnp.exp(m - new_m))
+                add = jnp.sum(
+                    jnp.where(jnp.isneginf(new_m)[:, None], 0.0,
+                              jnp.exp(lw - new_m[:, None])), axis=-1)
+                return (new_m, s * scale + add), None
+
+            init = (jnp.full((p,), -jnp.inf), jnp.zeros((p,)))
+            (m, s), _ = jax.lax.scan(
+                body, init,
+                (Xp.reshape(n_blk, cn, self.dim),
+                 wp.reshape(n_blk, cn), valid.reshape(n_blk, cn)))
+            out = m + jnp.log(s)
         out = out.reshape(lead)
         return out[0] if squeeze else out
 

@@ -136,8 +136,14 @@ def _pool_from_proposals(problem, key, theta_prop, log_q):
     return Pool(theta=theta_safe, x=x, dis=dis, log_q=log_q, log_w=log_w)
 
 
-def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps):
-    """One adaptation epoch for one chain -> (new_pool, kde, new_hat_eps)."""
+def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps,
+                  logp_chunk: int = 0):
+    """One adaptation epoch for one chain -> (new_pool, kde, new_hat_eps).
+
+    ``logp_chunk > 0`` streams the redrawn pool's ``kde.log_prob`` over
+    support chunks (see :meth:`KernelDensity.log_prob`): vmapped over the
+    chain axis the full (P, P) distance matrix is ~4 GB per 1024-chain
+    epoch chunk — the HBM peak of the adaptation epoch."""
     P = pool.theta.shape[0]
     k_sample, k_sim = jax.random.split(key)
 
@@ -169,7 +175,7 @@ def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps):
     cand = kde.sample(k_sample, cfg.oversample * P, matmul_select=True)
     ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
     new_theta = stable_partition_take(cand, ok, P)
-    new_log_q = kde.log_prob(new_theta)
+    new_log_q = kde.log_prob(new_theta, support_chunk=logp_chunk)
     new_pool = _pool_from_proposals(problem, k_sim, new_theta, new_log_q)
     return new_pool, kde, hat_eps
 
@@ -260,22 +266,28 @@ def make_shared_epoch_fn(problem, cfg: AGLMCMCConfig, shared_support: int,
 
 @functools.lru_cache(maxsize=64)
 def make_epoch_fn(problem, cfg: AGLMCMCConfig, num_chains: int,
-                  epoch_chunk: int = 0):
+                  epoch_chunk: int = 0, logp_chunk: int = 0):
     """Jitted per-chain adaptation epoch, batched over chains:
     ``(keys (C,2), pools, hat_eps (C,)) -> (pools, kdes, hat_eps)``.
     ``epoch_chunk > 0`` runs the chains in sequential ``lax.map`` chunks of
-    that size (memory bound for 10^4+ chain runs).  Shared by the scan and
-    fused AGLMCMC drivers; process-cached on its arguments so repeated
-    driver calls (benchmarks, test suites) hit one compiled epoch."""
+    that size (memory bound for 10^4+ chain runs); ``logp_chunk > 0``
+    additionally streams the per-chain KDE ``log_prob`` over support chunks
+    (peak (chunk, P, logp_chunk) instead of (chunk, P, P)).  The old pools
+    and hat_eps are DONATED — the redraw overwrites them in place, halving
+    pool residency (131k chains x 1000 slots is ~3.7 GB per copy).  Shared
+    by the scan and fused AGLMCMC drivers; process-cached on its arguments
+    so repeated driver calls (benchmarks, test suites) hit one compiled
+    epoch."""
     C = num_chains
     vmapped_epoch = jax.vmap(
-        functools.partial(_epoch_update, problem, cfg), in_axes=(0, 0, 0)
+        functools.partial(_epoch_update, problem, cfg,
+                          logp_chunk=logp_chunk), in_axes=(0, 0, 0)
     )
     if not (epoch_chunk and epoch_chunk < C):
-        return jax.jit(vmapped_epoch)
+        return jax.jit(vmapped_epoch, donate_argnums=(1, 2))
     assert C % epoch_chunk == 0, "num_chains must divide by epoch_chunk"
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def epoch_fn(keys, pools_, eps_):
         def reblock(x):
             return x.reshape((C // epoch_chunk, epoch_chunk) + x.shape[1:])
@@ -364,6 +376,7 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                 step_size=200, alpha=0.8, hat_eps_T=0.2, y0=None,
                 num_chains: int = 1, on_segment=None, oversample: int = 4,
                 support_retries: int = 0, epoch_chunk: int = 0,
+                epoch_logp_chunk: int = 0,
                 shared_adaptation: bool = False,
                 shared_support: int = 4096, mesh=None,
                 pool_slack: Optional[int] = None,
@@ -371,7 +384,9 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                 resume: bool = False) -> AGLResult:
     """``epoch_chunk > 0`` runs the per-chain adaptation epochs (KDE fit +
     oversampled redraw) in sequential chunks of that many chains via
-    ``lax.map`` — bounds memory for 10^4+ chain runs.
+    ``lax.map`` — bounds memory for 10^4+ chain runs; ``epoch_logp_chunk``
+    additionally streams the redraw's KDE log_prob over support chunks
+    (see :meth:`KernelDensity.log_prob`).
 
     ``shared_adaptation=True`` switches to cross-chain adaptation: one
     epsilon quantile over all chains' pools and ONE weighted KDE (support
@@ -453,7 +468,8 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
                               and epoch_chunk < C else 0))
         epoch_fn = None
     else:
-        epoch_fn = make_epoch_fn(problem, cfg, C, epoch_chunk)
+        epoch_fn = make_epoch_fn(problem, cfg, C, epoch_chunk,
+                                 epoch_logp_chunk)
 
     kde_axis = None if shared_adaptation else 0
 

@@ -223,6 +223,7 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
                       oversample: int = 4, num_chains: int = 4096,
                       block_chains: int = 1024, collect_history: bool = True,
                       y0=None, seed: int | None = None, epoch_chunk: int = 0,
+                      epoch_logp_chunk: int = 0,
                       on_segment=None, interpret: bool = False,
                       mesh=None, global_frequency: float = 1.0,
                       lp_scale: float = 0.35, shared_support: int = 4096,
@@ -323,7 +324,8 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
 
     pack = _make_pack(sub_T, B, d_pad)
     state_init, logw_kde, resolve = _make_gf1_helpers(problem, d, d_pad, C)
-    epoch_fn = make_epoch_fn(problem, cfg, C, epoch_chunk)
+    epoch_fn = make_epoch_fn(problem, cfg, C, epoch_chunk,
+                             epoch_logp_chunk)
 
     theta_k, logw_k = state_init(initial_isir_proposal, cc.theta,
                                  cc.log_kernel)

@@ -82,3 +82,29 @@ class TestFlowKernelParity:
                                    matmul_dtype="bfloat16", interpret=True)
         assert float(jnp.abs(s_k - s_ref).max()) < 5e-2
         assert np.all(np.isfinite(np.asarray(x_k)))
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="real-hardware Mosaic lowering check (interpret mode cannot see "
+           "unsupported primitives, e.g. the .at[].set -> scatter pad that "
+           "broke this kernel on-chip in round 4)",
+)
+class TestFlowKernelHardware:
+    """Compiled (non-interpret) kernel vs the XLA flow on the real chip."""
+
+    @pytest.mark.parametrize("dim", [2, 8])
+    def test_push_pull_match_xla_on_tpu(self, dim):
+        flow = _trained_flow(dim=dim)
+        z = jax.random.normal(jax.random.PRNGKey(7), (dim, 2048))
+        x_ref, s_ref = flow.push_t(z)
+        x_k, s_k = flow_push_fused(flow, z, block_rows=1024)
+        np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref),
+                                   atol=5e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
+                                   atol=5e-5, rtol=1e-4)
+        z_back, s_inv = flow_pull_fused(flow, x_k, block_rows=1024)
+        np.testing.assert_allclose(np.asarray(z_back), np.asarray(z),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(s_inv), np.asarray(s_k),
+                                   atol=1e-4, rtol=1e-3)

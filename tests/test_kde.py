@@ -117,3 +117,24 @@ def test_kde_jit_and_vmap():
     assert out.shape == (4, 7)
     ref0 = KernelDensity.fit(X[0], w[0]).log_prob(pts[0])
     np.testing.assert_allclose(out[0], ref0, rtol=1e-5)
+
+
+def test_log_prob_support_chunk_matches_unchunked():
+    """Streamed (support_chunk) logsumexp == full-matrix path, including
+    masked zero-weight rows and a chunk size that does not divide n."""
+    rng = np.random.RandomState(7)
+    X = jnp.asarray(rng.randn(103, 2).astype(np.float32))
+    w = jnp.asarray(rng.rand(103).astype(np.float32)).at[10:20].set(0.0)
+    kde = KernelDensity.fit(X, w)
+    pts = jnp.asarray(rng.randn(33, 2).astype(np.float32))
+    full = kde.log_prob(pts)
+    for chunk in (16, 50, 103, 1000):
+        out = kde.log_prob(pts, support_chunk=chunk)
+        np.testing.assert_allclose(out, full, rtol=1e-5, atol=1e-6)
+    # vmapped (the epoch's usage)
+    Xb = jnp.stack([X, X + 1.0])
+    wb = jnp.stack([w, w])
+    kdes = jax.vmap(lambda x, ww: KernelDensity.fit(x, ww))(Xb, wb)
+    ptsb = jnp.stack([pts, pts])
+    outb = jax.vmap(lambda k, p: k.log_prob(p, support_chunk=16))(kdes, ptsb)
+    np.testing.assert_allclose(outb[0], full, rtol=1e-5, atol=1e-6)
