@@ -62,8 +62,8 @@ import numpy as np
 
 from ..models.kde import KernelDensity
 from ..ops.resampling import (
+    blocked_stable_partition_take,
     categorical_from_log_weights,
-    stable_partition_take,
     systematic_resample,
 )
 from .base import MoveCounts, SamplerResult, StepOut, local_rw_move
@@ -174,7 +174,7 @@ def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps,
     # serialize badly vmapped over 10^4 chains)
     cand = kde.sample(k_sample, cfg.oversample * P, matmul_select=True)
     ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
-    new_theta = stable_partition_take(cand, ok, P)
+    new_theta = blocked_stable_partition_take(cand, ok, P)
     new_log_q = kde.log_prob(new_theta, support_chunk=logp_chunk)
     new_pool = _pool_from_proposals(problem, k_sim, new_theta, new_log_q)
     return new_pool, kde, hat_eps
@@ -230,7 +230,7 @@ def _shared_epoch_update(problem, cfg: AGLMCMCConfig, shared_support: int,
         k_s, k_x = jax.random.split(kk)
         cand = kde.sample(k_s, cfg.oversample * P, matmul_select=True)
         ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
-        new_theta = stable_partition_take(cand, ok, P)
+        new_theta = blocked_stable_partition_take(cand, ok, P)
         new_log_q = kde.log_prob(new_theta)
         return _pool_from_proposals(problem, k_x, new_theta, new_log_q)
 
@@ -411,7 +411,13 @@ def run_aglmcmc(problem, key, num_ite, theta0, local_proposal,
     per-chain or shared KDE, ``hat_eps`` trajectory, chain carry, RNG keys)
     is snapshotted at every aligned segment boundary (pre-epoch — the
     pending epoch replays bitwise on resume); ``resume=True`` continues
-    bitwise-identically, returning only post-resume history."""
+    bitwise-identically, returning only post-resume history.
+
+    Note: the per-chain adaptation epoch (:func:`make_epoch_fn`) DONATES
+    its pool/hat_eps arguments — after each epoch the previous pool buffers
+    are invalid.  The driver never reuses them; callers driving
+    ``make_epoch_fn`` directly (custom benchmarks) must pass fresh arrays
+    per call."""
     if pool_slack is None:
         pool_slack = default_pool_slack(step_size, global_frequency)
     cfg = AGLMCMCConfig(global_frequency, batch_size, step_size, alpha,

@@ -87,13 +87,24 @@ class _AsyncBlocks:
     history can be ~0.5 GB of HBM; keeping all of them alive until the end
     OOMs long runs) — older segments are materialized as soon as a newer
     one is enqueued, by which point their async copy has had a full
-    segment of compute to complete."""
+    segment of compute to complete.
 
-    def __init__(self, d: int, max_pending: int = 2, post=None):
+    ``thin``/``dtype`` compress the transfer on device before the copy
+    starts: ``thin=k`` keeps only iterations ``i`` with ``i % k == 0``
+    (globally consistent across segments — ``add`` takes the segment's
+    global iteration offset), and ``dtype=jnp.bfloat16`` halves the bytes
+    (chains are posterior samples; 8 mantissa bits are ample for the f64
+    summary casts downstream).  Both matter because the device->host link
+    (~30 MB/s tunnel) bounds every history-on adaptive run."""
+
+    def __init__(self, d: int, max_pending: int = 2, post=None,
+                 thin: int = 1, dtype=None):
         self._d = d
         self._max = max(1, int(max_pending))
         # materialized layout: (chains, take, d) by default
         self._post = post or (lambda a: np.moveaxis(a, 2, 0))
+        self._thin = max(1, int(thin))
+        self._dtype = dtype
         self._pending: list = []
         self._done: list = []
 
@@ -109,8 +120,20 @@ class _AsyncBlocks:
         while len(self._pending) > self._max:
             self._materialize(self._pending.pop(0))
 
-    def add(self, hist_dev, take: int) -> None:
-        self._enqueue(hist_dev[:take, : self._d, :])
+    def add(self, hist_dev, take: int, done: int = 0) -> None:
+        """Enqueue segment history ``hist_dev (T, d_pad, C)``; row ``r``
+        is global iteration ``done + 1 + r``."""
+        t = self._thin
+        if t > 1:
+            r0 = (-(done + 1)) % t
+            if r0 >= take:
+                return
+            dev = hist_dev[r0:take:t, : self._d, :]
+        else:
+            dev = hist_dev[:take, : self._d, :]
+        if self._dtype is not None:
+            dev = dev.astype(self._dtype)
+        self._enqueue(dev)
 
     def add_raw(self, dev) -> None:
         """Enqueue an already-sliced device array (``post`` still applies)."""
@@ -129,8 +152,49 @@ def _acc_row(acc, row, frac):
     behind the in-flight history copy and stalls the dispatch pipeline a
     full transfer per segment).  f32 is exact for integer counts < 2^24;
     ``frac`` < 1 only on the ragged final segment (documented pro-rata
-    approximation)."""
+    approximation).  Drivers call :func:`_check_count_range` so runs long
+    enough to break exactness warn instead of silently drifting."""
     return acc + row[0] * frac
+
+
+def _history_opts(thin: int, history_dtype, on_segment):
+    """Validate/normalize the fused drivers' history-compression options.
+
+    Returns ``(thin, dtype-or-None)``.  ``history_dtype='bfloat16'`` halves
+    the device->host bytes (the ~30 MB/s tunnel bounds history-on runs);
+    ``thin=k`` keeps iterations ``i % k == 0`` (plus the initial state).
+    Both act on the on-device slice before the async copy, so they are
+    incompatible with ``on_segment`` (which receives synchronous
+    full-resolution float32 blocks)."""
+    thin = max(1, int(thin))
+    dt = None
+    if history_dtype is not None:
+        dt = jnp.dtype(history_dtype)
+        if dt == jnp.dtype(jnp.float32):
+            dt = None
+        elif dt != jnp.dtype(jnp.bfloat16):
+            raise ValueError(
+                f"history_dtype must be float32 or bfloat16, got "
+                f"{history_dtype!r}")
+    if on_segment is not None and (thin > 1 or dt is not None):
+        raise ValueError(
+            "thin/history_dtype compress the async history transfer and "
+            "are incompatible with on_segment (which gets synchronous "
+            "full-resolution float32 blocks)")
+    return thin, dt
+
+
+def _check_count_range(num_ite: int) -> None:
+    """f32 count accumulators (:func:`_acc_row`) are exact only below
+    2^24; per-chain attempt counts are bounded by ``num_ite``."""
+    if num_ite > 2 ** 24:
+        import warnings
+        warnings.warn(
+            f"num_ite={num_ite} exceeds 2^24: on-device float32 move-count "
+            "accumulators lose integer exactness above 16,777,216 and "
+            "MoveCounts may drift (history/posteriors are unaffected). "
+            "Split the run into segments via checkpoint/resume.",
+            RuntimeWarning, stacklevel=3)
 
 
 def _fused_final_carry(problem, d: int, theta_k, y_cur, logk, counts, key):
@@ -230,7 +294,9 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
                       support_chunk: int = 512,
                       checkpoint_path: str | None = None,
                       resume: bool = False,
-                      pack_chunk: int = 0) -> AGLResult:
+                      pack_chunk: int = 0,
+                      thin: int = 1,
+                      history_dtype=None) -> AGLResult:
     """AGLMCMC via the fused pool-iSIR Pallas kernels.
 
     ``global_frequency < 1`` dispatches to
@@ -269,7 +335,18 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     Markov kernel is unchanged (same pool slices in the same order; PRNG
     streams are per-launch, so trajectories differ bitwise from the
     unchunked launch but are equally valid).  0 = pack the whole segment
-    (bitwise-compatible with earlier releases)."""
+    (bitwise-compatible with earlier releases).
+
+    ``thin``/``history_dtype``: compress the returned history on device
+    before the async device->host copy — ``thin=k`` keeps iterations
+    ``i % k == 0`` plus the initial state (``1 + (num_ite-1)//k`` rows);
+    ``history_dtype='bfloat16'`` halves the bytes.  The ~30 MB/s tunnel
+    transfer bounds history-on runs, so these directly raise end-to-end
+    throughput.  Incompatible with ``on_segment``.
+
+    Note: the adaptation epoch (:func:`~glabc_tpu.samplers.aglmcmc.make_epoch_fn`)
+    DONATES its pool/hat_eps arguments; previous-epoch pool buffers are
+    invalid after each epoch (the driver never reuses them)."""
     if global_frequency < 1.0:
         return run_aglmcmc_fused_mixed(
             problem, key, num_ite, theta0, initial_isir_proposal,
@@ -280,11 +357,12 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
             y0=y0, seed=seed, on_segment=on_segment, interpret=interpret,
             mesh=mesh, lp_scale=lp_scale, shared_support=shared_support,
             support_chunk=support_chunk, checkpoint_path=checkpoint_path,
-            resume=resume)
+            resume=resume, thin=thin, history_dtype=history_dtype)
     d = problem.theta_dim
     d_pad = max(_SUB, ((d + _SUB - 1) // _SUB) * _SUB)
     T, B, C = int(step_size), int(batch_size), int(num_chains)
     P = T * B
+    _check_count_range(num_ite)
     cfg = AGLMCMCConfig(1.0, B, T, alpha, hat_eps_T, oversample, 0, 0)
 
     sub_T = int(pack_chunk) if pack_chunk else T
@@ -339,7 +417,10 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
     hat_eps = jnp.full((C,), 1.0e6, jnp.float32)
     hat_eps_hist: list[np.ndarray] = []
     blocks: list[np.ndarray] = []
-    async_blocks = _AsyncBlocks(d)
+    thin, hist_dt = _history_opts(thin, history_dtype, on_segment)
+    async_blocks = _AsyncBlocks(d, thin=thin, dtype=hist_dt)
+    if hist_dt is not None:
+        theta_init_row = theta_init_row.astype(hist_dt)
     g_acc = jnp.zeros((C,), jnp.float32)
     kdes = None
     done, steps_run, ep = 0, 0, 0
@@ -403,7 +484,7 @@ def run_aglmcmc_fused(problem, key, num_ite, theta0, initial_isir_proposal,
                 on_segment(block, done)
                 blocks.append(block)
             else:
-                async_blocks.add(hist, take)
+                async_blocks.add(hist, take, done)
         y_cur, logk = resolve(sp, sel, y_cur, logk)
         g_acc = _acc_row(g_acc, moved, take / sub_T)
         steps_run += take
@@ -465,7 +546,9 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
                             redraw_chunk: int = 512,
                             checkpoint_path: str | None = None,
                             resume: bool = False,
-                            tile_program=None) -> AGLResult:
+                            tile_program=None,
+                            thin: int = 1,
+                            history_dtype=None) -> AGLResult:
     """AGLMCMC at ``global_frequency < 1`` via the fused
     :class:`~glabc_tpu.ops.pallas.pool_isir_mixed_kernel.PoolISIRMixed`
     kernel (per-chain coin, in-kernel Mixture local RW move, in-kernel
@@ -501,6 +584,7 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
     epoch (``AGLMCMC.py:137-138``).
     """
     d = problem.theta_dim
+    _check_count_range(num_ite)
     if tile_program is None:
         sigma = getattr(problem, "_noise_std", None)
         if sigma is None:
@@ -599,7 +683,10 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
     hat_eps = jnp.float32(1.0e6)
     hat_eps_hist: list[np.ndarray] = []
     blocks: list[np.ndarray] = []
-    async_blocks = _AsyncBlocks(d)
+    thin, hist_dt = _history_opts(thin, history_dtype, on_segment)
+    async_blocks = _AsyncBlocks(d, thin=thin, dtype=hist_dt)
+    if hist_dt is not None:
+        theta_init_row = theta_init_row.astype(hist_dt)
     g_att = jnp.zeros((C,), jnp.float32)
     g_acc = jnp.zeros((C,), jnp.float32)
     l_acc = jnp.zeros((C,), jnp.float32)
@@ -653,7 +740,7 @@ def run_aglmcmc_fused_mixed(problem, key, num_ite, theta0,
                 on_segment(block, done)
                 blocks.append(block)
             else:
-                async_blocks.add(hist, take)
+                async_blocks.add(hist, take, done)
         frac = take / seg_len
         g_att = _acc_row(g_att, gatt, frac)
         g_acc = _acc_row(g_acc, gacc, frac)

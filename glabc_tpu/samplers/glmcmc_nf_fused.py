@@ -509,7 +509,9 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
                         interpret: bool = False, mesh=None,
                         checkpoint_path: str | None = None,
                         resume: bool = False,
-                        flow_backend: str = "auto") -> NFResult:
+                        flow_backend: str = "auto",
+                        thin: int = 1,
+                        history_dtype=None) -> NFResult:
     """GLMCMC-NF at ``global_frequency = 1`` via the fused pool-iSIR Pallas
     kernel: every transition is an iSIR move over a precomputed flow pool, so
     the in-kernel step is pure data selection; flow sampling, training, and
@@ -517,7 +519,9 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
     ``pallas_call``s.  Same driver contract as
     :func:`glabc_tpu.samplers.aglmcmc_fused.run_aglmcmc_fused` (history of
     exactly ``num_ite`` rows; final carry may be ahead on a ragged final
-    segment; per-segment move counts scaled pro-rata)."""
+    segment; per-segment move counts scaled pro-rata; ``thin``/
+    ``history_dtype`` compress the async device->host history the same
+    way)."""
     from ..models.flows import CouplingFlow
     from ..ops.pallas.pool_isir_kernel import PoolISIR
 
@@ -561,9 +565,14 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
         seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
                                       0, 2**31 - 1))
 
-    from .aglmcmc_fused import _AsyncBlocks, _acc_row, _fused_final_carry
+    from .aglmcmc_fused import (_AsyncBlocks, _acc_row, _check_count_range,
+                                _fused_final_carry, _history_opts)
+    _check_count_range(num_ite)
     blocks, losses = [], []
-    async_blocks = _AsyncBlocks(d)
+    thin, hist_dt = _history_opts(thin, history_dtype, on_segment)
+    async_blocks = _AsyncBlocks(d, thin=thin, dtype=hist_dt)
+    if hist_dt is not None:
+        theta_init_row = theta_init_row.astype(hist_dt)
     g_acc = jnp.zeros((C,), jnp.float32)
     num_train = 0
     done, steps_run, ep = 0, 0, 0
@@ -616,7 +625,7 @@ def run_glmcmc_nf_fused(problem, key, num_ite, theta0, local_proposal=None,
                 on_segment(block, done)
                 blocks.append(block)
             else:
-                async_blocks.add(hist, take)
+                async_blocks.add(hist, take, done)
         y_cur, logk = resolve(pools, sel, y_cur, logk)
         g_acc = _acc_row(g_acc, moved, take / T)
         steps_run += take
