@@ -38,7 +38,8 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, y0=None, ip_loc=0.0,
                      steps_per_call: int = 32, block_chains: int = 512,
                      collect_history: bool = True, coin_mode: str = "shared",
                      on_segment=None, seed: int | None = None,
-                     mesh=None, checkpoint_path: str | None = None,
+                     mesh=None, interpret: bool = False,
+                     checkpoint_path: str | None = None,
                      resume: bool = False) -> SamplerResult:
     """GLMALA via the fused Pallas kernel.  Returns a
     :class:`SamplerResult` with chains ``(num_chains, num_ite, d)`` (initial
@@ -81,6 +82,7 @@ def run_glmala_fused(problem, key, num_ite, theta0, *, y0=None, ip_loc=0.0,
         prior_scale=prior_scale, ip_loc=ip_loc, ip_scale=ip_scale,
         steps_per_call=steps_per_call, block_chains=block_chains,
         collect_history=collect_history, coin_mode=coin_mode,
+        interpret=interpret,
     )
     # restore BEFORE state init so a resume skips the initial simulations
     # and the num_grad-replicate gradient batch entirely
