@@ -206,6 +206,52 @@ class TestDriverOracle:
         assert int(res.counts.global_attempts[0]) == 9
 
 
+class TestHistoryCompression:
+    """``thin``/``history_dtype`` compress the async history transfer;
+    semantics: ``thin=k`` keeps global iterations ``i % k == 0`` (incl. the
+    initial state) — exactly ``full.thetas[:, ::k]``."""
+
+    KW = dict(batch_size=2, step_size=4, num_chains=128, block_chains=128,
+              seed=0, interpret=True)
+
+    def test_thin_matches_strided_full_history(self):
+        full = run_aglmcmc_fused(PROB, KEY, 13, jnp.zeros(2), IP, **self.KW)
+        thin = run_aglmcmc_fused(PROB, KEY, 13, jnp.zeros(2), IP, thin=3,
+                                 **self.KW)
+        assert thin.thetas.shape == (128, 5, 2)  # iters 0,3,6,9,12
+        np.testing.assert_array_equal(thin.thetas,
+                                      full.thetas[:, ::3])
+
+    def test_bfloat16_history(self):
+        full = run_aglmcmc_fused(PROB, KEY, 9, jnp.zeros(2), IP, **self.KW)
+        bf = run_aglmcmc_fused(PROB, KEY, 9, jnp.zeros(2), IP,
+                               history_dtype="bfloat16", **self.KW)
+        assert bf.thetas.dtype == jnp.bfloat16
+        assert bf.thetas.shape == full.thetas.shape
+        np.testing.assert_allclose(bf.thetas.astype(np.float32),
+                                   full.thetas, rtol=1e-2, atol=1e-2)
+
+    def test_incompatible_with_on_segment(self):
+        with pytest.raises(ValueError, match="on_segment"):
+            run_aglmcmc_fused(PROB, KEY, 9, jnp.zeros(2), IP, thin=2,
+                              on_segment=lambda b, d: None, **self.KW)
+
+    def test_nf_fused_thin_and_dtype(self):
+        from glabc_tpu.samplers.glmcmc_nf_fused import run_glmcmc_nf_fused
+
+        kw = dict(batch_size=2, step_size=4, train_steps=1, n_layers=2,
+                  hidden=16, num_chains=128, block_chains=128, max_train=256,
+                  seed=0, interpret=True, flow_backend="xla")
+        full = run_glmcmc_nf_fused(PROB, KEY, 9, jnp.zeros(2), **kw)
+        thin = run_glmcmc_nf_fused(PROB, KEY, 9, jnp.zeros(2), thin=2,
+                                   history_dtype="bfloat16", **kw)
+        assert thin.thetas.dtype == jnp.bfloat16
+        assert thin.thetas.shape == (128, 5, 2)  # iters 0,2,4,6,8
+        np.testing.assert_allclose(thin.thetas.astype(np.float32),
+                                   full.thetas[:, ::2], rtol=1e-2,
+                                   atol=1e-2)
+
+
 class TestShardedDriver:
     """run_aglmcmc_fused(mesh=) on the 8-device CPU mesh must reproduce the
     unsharded driver EXACTLY in interpret mode: selection is deterministic
