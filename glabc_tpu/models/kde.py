@@ -180,32 +180,29 @@ class KernelDensity:
         Zero-weight (masked) rows have flat CDF segments and are never
         selected.
 
-        ``matmul_select=True`` replaces the final row gather ``X[idx]``
-        with a one-hot ``(num_samples, support) @ (support, d)`` matmul —
-        bitwise-identical output (each one-hot row has a single exact 1.0),
-        but the selection rides the MXU instead of the gather unit, which
-        matters when this is vmapped over 10^4 chains in the adaptation
-        epoch."""
+        ``matmul_select=True`` replaces the final row gather ``X[idx]`` and
+        the flat compare-and-count search with the blocked two-level form
+        (:func:`glabc_tpu.ops.resampling.blocked_searchsorted_take`) —
+        bitwise-identical indices and rows, but ~20x fewer element ops and
+        ~8x less HBM traffic than the flat ``(num_samples, support)``
+        compare + one-hot matmul, which were ~700 ms of the 1.29 s AGLMCMC
+        adaptation epoch at 32k chains (``benchmarks/r5_epoch_ablate.py``).
+        Gathers are not an option either way: vmapped over 10^4 chains they
+        serialize (the searchsorted-binary-search form was ~470 ms per 1024
+        chains)."""
         k_idx, k_noise = jax.random.split(key)
         cdf = jnp.cumsum(self.weights)
         u = jax.random.uniform(k_idx, (num_samples,)) * cdf[-1]
-        # inverse-CDF via compare-and-count rather than binary search:
-        # idx = #{i : cdf_i <= u}.  searchsorted's default binary search
-        # lowers to log2(n) rounds of batched gathers, which dominate the
-        # vmapped AGLMCMC adaptation epoch on TPU (~470 ms per 1024 chains
-        # at 4000 draws x 1000 support); the compare matrix fuses into a
-        # VPU compare+row-sum with no gathers (~few ms).
-        idx = jnp.clip(
-            jnp.searchsorted(cdf, u, side="right", method="compare_all"),
-            0, self.n_samples - 1)
         noise = jax.random.normal(k_noise, (num_samples, self.dim)) * self.bandwidth
         if matmul_select:
-            onehot = (idx[:, None]
-                      == jnp.arange(self.n_samples)[None, :]).astype(
-                          jnp.float32)
-            picked = jnp.dot(onehot, self.X,
-                             preferred_element_type=jnp.float32)
+            from ..ops.resampling import blocked_searchsorted_take
+            picked, _ = blocked_searchsorted_take(cdf, u, self.X)
         else:
+            # flat compare-and-count inverse CDF: idx = #{i : cdf_i <= u}
+            idx = jnp.clip(
+                jnp.searchsorted(cdf, u, side="right",
+                                 method="compare_all"),
+                0, self.n_samples - 1)
             picked = self.X[idx]
         return picked + noise
 

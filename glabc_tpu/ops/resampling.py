@@ -25,6 +25,8 @@ __all__ = [
     "systematic_resample",
     "stable_partition_indices",
     "stable_partition_take",
+    "blocked_searchsorted_take",
+    "blocked_stable_partition_take",
 ]
 
 
@@ -74,6 +76,98 @@ def systematic_resample(key, w: jnp.ndarray, num_samples: int) -> jnp.ndarray:
     u = (u0 + jnp.arange(num_samples, dtype=w.dtype)) / num_samples
     idx = jnp.searchsorted(c, u, side="right")
     return jnp.clip(idx, 0, w.shape[-1] - 1)
+
+
+def blocked_searchsorted_take(sorted_vals: jnp.ndarray,
+                              queries: jnp.ndarray,
+                              values: jnp.ndarray,
+                              block: int = 32):
+    """``idx = clip(searchsorted(sorted_vals, queries, 'right'), 0, n-1)``
+    and ``values[idx]``, via a two-level block search — no ``(N, n)``
+    compare matrix, no ``(N, n)`` one-hot, no gather.
+
+    The flat formulations are the dominant cost of the AGLMCMC adaptation
+    epoch on TPU: ``searchsorted(method='compare_all')`` plus the one-hot
+    row select each stream an ``oversample*P x P`` matrix per chain
+    (~700 ms of the 1.29 s epoch at 32k chains, ``r5_epoch_ablate.py``).
+    Blocking ``sorted_vals`` into ``n/block`` blocks makes it two small
+    compares (``(N, n/block)`` and ``(N, block)``) plus one MXU matmul that
+    gathers each query's block row (cdf values AND payload columns in one
+    ``(N, n/block) @ (n/block, block*(1+d))`` dot) — ~20x fewer element ops
+    and ~8x less HBM traffic at the canonical pool shape.
+
+    Exactness: ``#{v_i <= q}`` telescopes over blocks — a block is fully
+    counted iff its last entry ``<= q`` (``sorted_vals`` nondecreasing), and
+    only the first non-full block contributes a partial count.  Padding
+    (``n`` -> multiple of ``block``) repeats the last entry, and both levels
+    clip like the flat form, so the result is bitwise-identical to
+    ``values[clip(searchsorted(...), 0, n-1)]`` for every finite query
+    (ties included).
+
+    Args: ``sorted_vals (n,)`` nondecreasing; ``queries (N,)``;
+    ``values (n, d)`` payload rows.  Returns ``(picked (N, d), idx (N,))``.
+    """
+    sorted_vals = jnp.asarray(sorted_vals)
+    queries = jnp.asarray(queries)
+    values = jnp.asarray(values, jnp.float32)
+    n = sorted_vals.shape[0]
+    d = values.shape[-1]
+    bs = int(block)
+    nb = -(-n // bs)
+    pad = nb * bs - n
+    sp = jnp.concatenate(
+        [sorted_vals, jnp.broadcast_to(sorted_vals[-1:], (pad,))])
+    vp = jnp.concatenate(
+        [values, jnp.broadcast_to(values[-1:], (pad, d))])
+    sB = sp.reshape(nb, bs)
+    ends = sB[:, -1]                                          # (nb,)
+    blk = jnp.sum((ends[None, :] <= queries[:, None]).astype(jnp.int32),
+                  axis=1)
+    blk = jnp.clip(blk, 0, nb - 1)
+    ohB = (blk[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+           ).astype(jnp.float32)                              # (N, nb)
+    # one dot gathers the block's cdf row AND its payload columns.  The
+    # payload is FEATURE-MAJOR ([cdf | v_0 | v_1 | ...], each (nb, bs)) and
+    # every downstream op stays 2-D: a (N, bs, d) temp with d minor-most
+    # hits XLA's T(8,128) lane padding (d=2 -> 128, a 64x HBM blowup that
+    # measurably inverts the win; see CLAUDE.md / r5_epoch_ablate.py).
+    payload = jnp.concatenate(
+        [sB] + [vp[:, f].reshape(nb, bs) for f in range(d)], axis=1)
+    rows = jnp.dot(ohB, payload,
+                   preferred_element_type=jnp.float32)        # (N, bs*(1+d))
+    row_s = rows[:, :bs]
+    idx_in = jnp.sum((row_s <= queries[:, None]).astype(jnp.int32), axis=1)
+    idx_in = jnp.clip(idx_in, 0, bs - 1)
+    ohin = (idx_in[:, None] == jnp.arange(bs, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)                             # (N, bs)
+    picked = jnp.stack(
+        [jnp.sum(ohin * rows[:, bs * (1 + f): bs * (2 + f)], axis=1)
+         for f in range(d)], axis=-1)                         # (N, d)
+    idx = jnp.clip(blk * bs + idx_in, 0, n - 1)
+    return picked, idx
+
+
+def blocked_stable_partition_take(x: jnp.ndarray, ok: jnp.ndarray,
+                                  n_take: int,
+                                  block: int = 128) -> jnp.ndarray:
+    """:func:`stable_partition_take` semantics (valid rows first, stable;
+    invalid rows fill the remainder, stable) without the ``(n_take, n)``
+    one-hot — the destination map inverts into two monotone searchsorteds
+    (``j_p = #{j : cumsum(ok)_j <= p}`` for valid slots, the ``~ok``
+    cumulative for the remainder), each served by
+    :func:`blocked_searchsorted_take`.  Bitwise-identical output."""
+    ok = ok.astype(bool)
+    n = ok.shape[0]
+    okf = ok.astype(jnp.float32)
+    cum_ok = jnp.cumsum(okf)
+    n_ok = cum_ok[-1]
+    cum_bad = jnp.arange(1, n + 1, dtype=jnp.float32) - cum_ok
+    p = jnp.arange(n_take, dtype=jnp.float32)
+    # counts are integers in float32 (exact below 2^24); query p selects the
+    # first j with cum == p+1, i.e. searchsorted-right at p (+0.0)
+    val_pick, _ = blocked_searchsorted_take(cum_ok, p, x, block)
+    bad_pick, _ = blocked_searchsorted_take(cum_bad, p - n_ok, x, block)
+    return jnp.where((p < n_ok)[:, None], val_pick, bad_pick)
 
 
 def stable_partition_indices(ok: jnp.ndarray) -> jnp.ndarray:

@@ -212,3 +212,78 @@ def test_stable_partition_indices_matches_argsort():
             got = np.asarray(stable_partition_indices(ok))
             want = np.asarray(jnp.argsort(~ok, stable=True))
             np.testing.assert_array_equal(got, want)
+
+
+class TestBlockedSearchsortedTake:
+    """blocked_searchsorted_take must be bitwise-identical to
+    ``values[clip(searchsorted(sorted, q, 'right'), 0, n-1)]`` — ties,
+    boundary queries, and pad-block edges included."""
+
+    def _check(self, sorted_vals, queries, block=32):
+        from glabc_tpu.ops.resampling import blocked_searchsorted_take
+
+        n = sorted_vals.shape[0]
+        values = np.stack([np.arange(n, dtype=np.float32),
+                           np.arange(n, dtype=np.float32) * -2.0], axis=1)
+        picked, idx = blocked_searchsorted_take(
+            jnp.asarray(sorted_vals), jnp.asarray(queries),
+            jnp.asarray(values), block=block)
+        want_idx = np.clip(
+            np.searchsorted(sorted_vals, queries, side="right"), 0, n - 1)
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+        np.testing.assert_array_equal(np.asarray(picked), values[want_idx])
+
+    def test_random_with_ties(self):
+        rng = np.random.RandomState(0)
+        for n in (5, 32, 100, 1000):
+            vals = np.sort(np.round(rng.rand(n) * 20) / 20).astype(np.float32)
+            q = rng.rand(257).astype(np.float32) * 1.4 - 0.2
+            # include exact tie values and both extremes as queries
+            q = np.concatenate([q, vals[:: max(1, n // 7)],
+                                [-1.0, 0.0, vals[-1], vals[-1] + 1.0]])
+            self._check(vals, q.astype(np.float32))
+
+    def test_cdf_like(self):
+        rng = np.random.RandomState(1)
+        w = rng.rand(1000).astype(np.float32)
+        w[::3] = 0.0  # flat segments (masked support rows)
+        cdf = np.cumsum(w / w.sum()).astype(np.float32)
+        u = (rng.rand(4000).astype(np.float32) * cdf[-1])
+        self._check(cdf, u)
+        self._check(cdf, u, block=17)
+
+    def test_degenerate_all_zero(self):
+        cdf = np.zeros(64, np.float32)
+        self._check(cdf, np.zeros(16, np.float32))
+
+
+def test_blocked_stable_partition_take_matches_flat():
+    from glabc_tpu.ops.resampling import (blocked_stable_partition_take,
+                                          stable_partition_take)
+
+    rng = np.random.RandomState(2)
+    for n, n_take in ((40, 10), (4000, 1000), (257, 200)):
+        for p in (0.0, 0.05, 0.5, 0.97, 1.0):
+            x = rng.randn(n, 2).astype(np.float32)
+            ok = jnp.asarray(rng.rand(n) < p)
+            got = np.asarray(blocked_stable_partition_take(
+                jnp.asarray(x), ok, n_take))
+            want = np.asarray(stable_partition_take(jnp.asarray(x), ok,
+                                                    n_take))
+            np.testing.assert_array_equal(got, want)
+
+
+def test_kde_sample_matmul_select_matches_gather():
+    """The blocked matmul_select path must produce bitwise-identical
+    samples to the flat gather path (same key => same u/idx/noise)."""
+    from glabc_tpu.models.kde import KernelDensity
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(500, 2).astype(np.float32)
+    w = rng.rand(500).astype(np.float32)
+    w[::4] = 0.0
+    kde = KernelDensity.fit(jnp.asarray(X), jnp.asarray(w))
+    key = jax.random.PRNGKey(7)
+    a = np.asarray(kde.sample(key, 2000, matmul_select=True))
+    b = np.asarray(kde.sample(key, 2000, matmul_select=False))
+    np.testing.assert_array_equal(a, b)
