@@ -28,14 +28,16 @@ LP = DiagGaussian.create(2, 0.0, float(jnp.log(0.35)))
 
 
 def bench_fused(C, num_ite, step_size=200, block_chains=1024,
-                collect_history=True, epoch_chunk=0, epoch_logp_chunk=0):
+                collect_history=True, epoch_chunk=0, epoch_logp_chunk=0,
+                thin=1, history_dtype=None):
     key = jax.random.PRNGKey(0)
     # warm up compiles on a short run — step_size + 2 so ONE adaptation
     # epoch compiles too (step_size + 1 would skip it and the timed run
     # would include the epoch_fn compile)
     kw = dict(step_size=step_size, num_chains=C, block_chains=block_chains,
               collect_history=collect_history, epoch_chunk=epoch_chunk,
-              epoch_logp_chunk=epoch_logp_chunk)
+              epoch_logp_chunk=epoch_logp_chunk, thin=thin,
+              history_dtype=history_dtype)
     run_aglmcmc_fused(PROB, key, step_size + 2, jnp.zeros(2), IP, **kw)
     # kernel+driver-only rate: one segment, no epoch
     t0 = time.perf_counter()
@@ -45,9 +47,9 @@ def bench_fused(C, num_ite, step_size=200, block_chains=1024,
     res = run_aglmcmc_fused(PROB, key, num_ite, jnp.zeros(2), IP, **kw)
     dt = time.perf_counter() - t0
     trans = C * (num_ite - 1)
-    burn = min(2 * step_size, (num_ite - 1) // 2)
-    absmean = np.abs(res.thetas[:, burn:, :]).mean(axis=(0, 1)) \
-        if collect_history else None
+    burn = min(2 * step_size, (num_ite - 1) // 2) // max(1, thin)
+    absmean = (np.abs(np.asarray(res.thetas[:, burn:, :], np.float64))
+               .mean(axis=(0, 1)) if collect_history else None)
     acc = float(res.counts.global_accepts.sum()
                 / max(res.counts.global_attempts.sum(), 1))
     return trans / dt, dt, absmean, acc, res.hat_eps.mean(), seg_rate
@@ -77,7 +79,8 @@ def bench_mixed(C, num_ite, step_size=200, gf=0.5, block_chains=1024,
             float(res.hat_eps), seg_rate)
 
 
-def bench_stress(num_ite, step_size=200, collect_history=True):
+def bench_stress(num_ite, step_size=200, collect_history=True,
+                 thin=1, history_dtype=None):
     """The driver's config-5 stress shape: dim-8 HighDim mixture, 10,240
     chains, per-chain adaptation (chunked KDE refits) — the repo's worst
     round-3 number (87k trans/s end-to-end); tracks the one-hot-matmul
@@ -92,7 +95,8 @@ def bench_stress(num_ite, step_size=200, collect_history=True):
     key = jax.random.PRNGKey(0)
     kw = dict(step_size=step_size, num_chains=C, block_chains=1024,
               epoch_chunk=2048, epoch_logp_chunk=250,
-              collect_history=collect_history)
+              collect_history=collect_history, thin=thin,
+              history_dtype=history_dtype)
     run_aglmcmc_fused(prob, key, step_size + 2, jnp.zeros(8), ip, **kw)
     t0 = time.perf_counter()
     res = run_aglmcmc_fused(prob, key, num_ite, jnp.zeros(8), ip, **kw)
@@ -147,13 +151,17 @@ if __name__ == "__main__":
     ap.add_argument("--no-history", action="store_true")
     ap.add_argument("--epoch-chunk", type=int, default=0)
     ap.add_argument("--logp-chunk", type=int, default=0)
+    ap.add_argument("--thin", type=int, default=1)
+    ap.add_argument("--history-dtype", default=None)
     args = ap.parse_args()
     num_ite = 1 + args.epochs * args.step_size
     print(f"backend={jax.devices()[0].platform} epochs={args.epochs} "
           f"step_size={args.step_size}")
     if args.mode == "stress":
-        rate, dt, acc, eps = bench_stress(num_ite, args.step_size,
-                                          collect_history=not args.no_history)
+        rate, dt, acc, eps = bench_stress(
+            num_ite, args.step_size,
+            collect_history=not args.no_history, thin=args.thin,
+            history_dtype=args.history_dtype)
         print(f"stress d=8 C=10240: {rate/1e6:9.2f}M trans/s end-to-end "
               f"({dt:.2f}s) acc={acc:.3f} hat_eps={eps:.3f}")
         raise SystemExit(0)
@@ -171,7 +179,8 @@ if __name__ == "__main__":
             rate, dt, absmean, acc, eps, seg_rate = bench_fused(
                 C, num_ite, args.step_size,
                 collect_history=not args.no_history, epoch_chunk=ec,
-                epoch_logp_chunk=args.logp_chunk)
+                epoch_logp_chunk=args.logp_chunk, thin=args.thin,
+                history_dtype=args.history_dtype)
             print(f"fused  C={C:7d}: {rate/1e6:9.1f}M trans/s end-to-end "
                   f"({dt:.2f}s), {seg_rate/1e6:9.1f}M kernel-segment  "
                   f"acc={acc:.3f} hat_eps={eps:.3f} absmean={absmean}")

@@ -62,8 +62,8 @@ import numpy as np
 
 from ..models.kde import KernelDensity
 from ..ops.resampling import (
-    blocked_stable_partition_take,
     categorical_from_log_weights,
+    stable_partition_take,
     systematic_resample,
 )
 from .base import MoveCounts, SamplerResult, StepOut, local_rw_move
@@ -136,14 +136,11 @@ def _pool_from_proposals(problem, key, theta_prop, log_q):
     return Pool(theta=theta_safe, x=x, dis=dis, log_q=log_q, log_w=log_w)
 
 
-def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps,
-                  logp_chunk: int = 0):
-    """One adaptation epoch for one chain -> (new_pool, kde, new_hat_eps).
-
-    ``logp_chunk > 0`` streams the redrawn pool's ``kde.log_prob`` over
-    support chunks (see :meth:`KernelDensity.log_prob`): vmapped over the
-    chain axis the full (P, P) distance matrix is ~4 GB per 1024-chain
-    epoch chunk — the HBM peak of the adaptation epoch."""
+def _epoch_redraw(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps):
+    """Adaptation epoch for one chain, up to (but excluding) the redrawn
+    pool's proposal log-density: anneal -> training weights -> weighted-KDE
+    fit -> blocked oversampled redraw + prior filter.  Returns
+    ``(new_theta, kde, new_hat_eps, k_sim)``."""
     P = pool.theta.shape[0]
     k_sample, k_sim = jax.random.split(key)
 
@@ -169,12 +166,28 @@ def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps,
     kde = KernelDensity.fit(pool.theta, train_w, bandwidth="silverman")
 
     # (4) oversampled redraw + prior-support filter (:220-229).  The
-    # component pick and the valid-rows-first selection both run as one-hot
-    # MXU matmuls (bitwise-identical to the gather forms; gathers/scatters
-    # serialize badly vmapped over 10^4 chains)
+    # component pick uses the blocked two-level search (bitwise-identical
+    # to the flat compare/one-hot form, ~500 ms cheaper per 32k-chain
+    # epoch); the partition stays on the FLAT one-hot matmul — its blocked
+    # form measured ~170 ms slower inside the fused epoch
+    # (benchmarks/r5_epoch_ablate.py), the 4x-smaller query count doesn't
+    # amortize the two extra searchsorted passes
     cand = kde.sample(k_sample, cfg.oversample * P, matmul_select=True)
     ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
-    new_theta = blocked_stable_partition_take(cand, ok, P)
+    new_theta = stable_partition_take(cand, ok, P)
+    return new_theta, kde, hat_eps, k_sim
+
+
+def _epoch_update(problem, cfg: AGLMCMCConfig, key, pool: Pool, hat_eps,
+                  logp_chunk: int = 0):
+    """One adaptation epoch for one chain -> (new_pool, kde, new_hat_eps).
+
+    ``logp_chunk > 0`` streams the redrawn pool's ``kde.log_prob`` over
+    support chunks (see :meth:`KernelDensity.log_prob`): vmapped over the
+    chain axis the full (P, P) distance matrix is ~4 GB per 1024-chain
+    epoch chunk — the HBM peak of the adaptation epoch."""
+    new_theta, kde, hat_eps, k_sim = _epoch_redraw(problem, cfg, key, pool,
+                                                   hat_eps)
     new_log_q = kde.log_prob(new_theta, support_chunk=logp_chunk)
     new_pool = _pool_from_proposals(problem, k_sim, new_theta, new_log_q)
     return new_pool, kde, hat_eps
@@ -230,7 +243,7 @@ def _shared_epoch_update(problem, cfg: AGLMCMCConfig, shared_support: int,
         k_s, k_x = jax.random.split(kk)
         cand = kde.sample(k_s, cfg.oversample * P, matmul_select=True)
         ok = problem.prior_log_prob(cand) > _PRIOR_CUTOFF
-        new_theta = blocked_stable_partition_take(cand, ok, P)
+        new_theta = stable_partition_take(cand, ok, P)
         new_log_q = kde.log_prob(new_theta)
         return _pool_from_proposals(problem, k_x, new_theta, new_log_q)
 
@@ -266,7 +279,8 @@ def make_shared_epoch_fn(problem, cfg: AGLMCMCConfig, shared_support: int,
 
 @functools.lru_cache(maxsize=64)
 def make_epoch_fn(problem, cfg: AGLMCMCConfig, num_chains: int,
-                  epoch_chunk: int = 0, logp_chunk: int = 0):
+                  epoch_chunk: int = 0, logp_chunk: int = 0,
+                  logprob_backend: str = "auto", interpret: bool = False):
     """Jitted per-chain adaptation epoch, batched over chains:
     ``(keys (C,2), pools, hat_eps (C,)) -> (pools, kdes, hat_eps)``.
     ``epoch_chunk > 0`` runs the chains in sequential ``lax.map`` chunks of
@@ -277,26 +291,56 @@ def make_epoch_fn(problem, cfg: AGLMCMCConfig, num_chains: int,
     pool residency (131k chains x 1000 slots is ~3.7 GB per copy).  Shared
     by the scan and fused AGLMCMC drivers; process-cached on its arguments
     so repeated driver calls (benchmarks, test suites) hit one compiled
-    epoch."""
+    epoch.
+
+    ``logprob_backend``: 'xla' evaluates the redrawn pool's KDE log-density
+    via vmapped :meth:`KernelDensity.log_prob`; 'pallas' via the fused
+    :func:`~glabc_tpu.ops.pallas.kde_logprob_kernel.batched_kde_log_prob`
+    kernel (the XLA path's per-chain (P, P) cross matrices are ~400 ms of
+    HBM traffic per epoch at 32k chains); 'auto' (default) picks 'pallas'
+    on TPU when shapes allow (chain blocks of 128), else 'xla'.  Results
+    differ only by reduction order (~1e-4)."""
     C = num_chains
-    vmapped_epoch = jax.vmap(
-        functools.partial(_epoch_update, problem, cfg,
-                          logp_chunk=logp_chunk), in_axes=(0, 0, 0)
-    )
-    if not (epoch_chunk and epoch_chunk < C):
-        return jax.jit(vmapped_epoch, donate_argnums=(1, 2))
-    assert C % epoch_chunk == 0, "num_chains must divide by epoch_chunk"
+    chunk = epoch_chunk if (epoch_chunk and epoch_chunk < C) else C
+    if logprob_backend == "auto":
+        use_pallas = (jax.devices()[0].platform == "tpu"
+                      and chunk % 128 == 0 and problem.theta_dim <= 8)
+    else:
+        use_pallas = logprob_backend == "pallas"
+
+    if not use_pallas:
+        block_epoch = jax.vmap(
+            functools.partial(_epoch_update, problem, cfg,
+                              logp_chunk=logp_chunk), in_axes=(0, 0, 0)
+        )
+    else:
+        from ..ops.pallas.kde_logprob_kernel import batched_kde_log_prob
+        v_redraw = jax.vmap(functools.partial(_epoch_redraw, problem, cfg),
+                            in_axes=(0, 0, 0))
+        v_finish = jax.vmap(functools.partial(_pool_from_proposals, problem))
+
+        def block_epoch(keys, pools_, eps_):
+            new_theta, kdes, eps2, k_sims = v_redraw(keys, pools_, eps_)
+            new_log_q = batched_kde_log_prob(
+                kdes, new_theta,
+                point_chunk=(logp_chunk if logp_chunk else 512),
+                interpret=interpret)
+            new_pool = v_finish(k_sims, new_theta, new_log_q)
+            return new_pool, kdes, eps2
+
+    if chunk == C:
+        return jax.jit(block_epoch, donate_argnums=(1, 2))
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def epoch_fn(keys, pools_, eps_):
         def reblock(x):
-            return x.reshape((C // epoch_chunk, epoch_chunk) + x.shape[1:])
+            return x.reshape((C // chunk, chunk) + x.shape[1:])
 
         def unblock(x):
             return x.reshape((C,) + x.shape[2:])
 
         out = jax.lax.map(
-            lambda args: vmapped_epoch(*args),
+            lambda args: block_epoch(*args),
             (reblock(keys), jax.tree_util.tree_map(reblock, pools_),
              reblock(eps_)),
         )
