@@ -58,7 +58,8 @@ def bench_scan(C: int, steps: int = 400):
 
 
 def bench_pooled(C: int, epochs: int = 4, shared_coin: bool = False,
-                 gf: float = 0.5):
+                 gf: float = 0.5, cadence: str = "cursor", thin: int = 1,
+                 history_dtype=None):
     """End-to-end pooled path at the canonical config: gf=0.5, B=5,
     step_size=200 (seg_len=400) — includes pool redraws and flow training."""
     from glabc_tpu import DiagGaussian, MixtureProblem
@@ -67,10 +68,12 @@ def bench_pooled(C: int, epochs: int = 4, shared_coin: bool = False,
     problem = MixtureProblem(0.05)
     lp = DiagGaussian.create(2, 0.0, float(np.log(0.35)))
     jax.block_until_ready(jnp.zeros(()))
-    print(f"[pooled C={C} shared_coin={shared_coin}] device claimed",
+    print(f"[pooled C={C} shared_coin={shared_coin} cadence={cadence}] "
+          "device claimed",
           flush=True)
     kw = dict(global_frequency=gf, batch_size=5, step_size=200,
-              train_steps=50, num_chains=C, shared_coin=shared_coin)
+              train_steps=50, num_chains=C, shared_coin=shared_coin,
+              cadence=cadence, thin=thin, history_dtype=history_dtype)
     seg_len = int(round(200 / gf))
     # warmup compile: one segment + one train + one redraw
     run_glmcmc_nf_pooled(problem, jax.random.PRNGKey(0), seg_len + 2,
@@ -81,8 +84,9 @@ def bench_pooled(C: int, epochs: int = 4, shared_coin: bool = False,
     res = run_glmcmc_nf_pooled(problem, jax.random.PRNGKey(1), num_ite,
                                jnp.zeros(2), lp, **kw)
     dt = time.perf_counter() - t0
-    burn = min(seg_len, (num_ite - 1) // 2)
-    absmean = np.abs(res.thetas[:, burn:, :].astype(np.float64)).mean((0, 1))
+    burn = min(seg_len, (num_ite - 1) // 2) // max(1, thin)
+    absmean = np.abs(np.asarray(res.thetas[:, burn:, :],
+                                np.float64)).mean((0, 1))
     rates = res.acceptance_rates()
     print(f"[pooled C={C}] absmean={absmean} "
           f"g_acc={float(np.mean(rates['global'])):.4f} "
@@ -119,10 +123,13 @@ def bench_fused(C: int, epochs: int = 4):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="scan",
-                    choices=["scan", "pooled", "pooled-shared", "fused"])
+                    choices=["scan", "pooled", "pooled-shared", "fused",
+                             "slice"])
     ap.add_argument("--chains", type=int, nargs="*", default=[])
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--thin", type=int, default=1)
+    ap.add_argument("--history-dtype", default=None)
     args = ap.parse_args()
     chain_counts = args.chains or [1024, 8192, 32768]
     for C in chain_counts:
@@ -132,6 +139,10 @@ def main():
             tps = bench_pooled(C, args.epochs)
         elif args.mode == "pooled-shared":
             tps = bench_pooled(C, args.epochs, shared_coin=True)
+        elif args.mode == "slice":
+            tps = bench_pooled(C, args.epochs, cadence="slice",
+                               thin=args.thin,
+                               history_dtype=args.history_dtype)
         else:
             tps = bench_fused(C, args.epochs)
         print(f"mode={args.mode} chains={C} -> {tps:,.0f} transitions/s",

@@ -297,17 +297,25 @@ class MCMCRunner:
           XLA fast path: per-epoch batched flow pools, training on the
           consumed pool, one batched flow inverse per step
           (``samplers/glmcmc_nf_fused.run_glmcmc_nf_pooled``);
-        * ``'fused'`` — the pool-iSIR Pallas kernel; requires
-          ``global_frequency == 1`` (every move global);
+        * ``'fused'`` — at ``global_frequency == 1`` the pool-iSIR Pallas
+          kernel (every move global); at gf < 1 the gather-free
+          slice-per-step pooled path (``cadence='slice'`` — the same
+          statistically-exact pool cadence as the mixed AGLMCMC kernel);
         * ``'scan'`` — per-step fresh flow draws (the round-1 path).
         """
         writer, on_segment = self._writer(output_file, initial_theta)
-        if method == "fused":
-            if float(global_frequency) != 1.0:
-                raise ValueError(
-                    "method='fused' GLMCMC-NF requires global_frequency == 1 "
-                    "(every transition a pool-iSIR move); use "
-                    "method='pooled' for gf < 1")
+        if method == "fused" and float(global_frequency) != 1.0:
+            from .samplers.glmcmc_nf_fused import run_glmcmc_nf_pooled
+            res = run_glmcmc_nf_pooled(
+                self.abc_set, self._next_key(key), num_iterations,
+                initial_theta, local_proposal,
+                base=importance_proposal_base,
+                global_frequency=global_frequency, batch_size=batch_size,
+                step_size=step_size, train_steps=train_steps, y0=initial_y,
+                num_chains=self.num_chains, on_segment=on_segment,
+                cadence="slice", **kwargs,
+            )
+        elif method == "fused":
             from .samplers.glmcmc_nf_fused import run_glmcmc_nf_fused
             res = run_glmcmc_nf_fused(
                 self.abc_set, self._next_key(key), num_iterations,

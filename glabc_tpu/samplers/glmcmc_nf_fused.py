@@ -187,33 +187,56 @@ def _select_chains(coin, on_true, on_false):
 
 
 def _build_pooled_bodies(problem, local_proposal, cfg: GLMCMCNFConfig,
-                         pool_slices: int):
+                         pool_slices: int, cadence: str = "cursor"):
     """Batched global / local transition bodies over precomputed pools.
 
     The global body takes each chain's current-state flow log-density
-    (computed batched outside — ``GLMCMC_NFs.py:98``) and consumes pool
-    slice ``kk`` (``:93-111``); the local body is the usual RW-MH move
+    (computed batched outside — ``GLMCMC_NFs.py:98``) and consumes a pool
+    slice (``:93-111``); the local body is the usual RW-MH move
     (``:141-151``).
 
-    Both bodies are written BATCHED over the chain axis with pool-slice
-    rows fetched by one ``take_along_axis`` per pool tensor and candidates
-    selected by a one-hot contraction: the earlier per-chain
-    ``dynamic_slice``/``thetas[ind]`` formulation under ``vmap`` lowered to
-    batched gathers that cost ~20 ms/step at 8k chains — 300x the rest of
-    the step body combined (``benchmarks/pooled_profile.py``).  Per-chain
-    PRNG semantics (one ``split`` of the chain key per step, ``k_move``
-    feeding the categorical / RW draws) are unchanged."""
-    B = cfg.batch_size
+    ``cadence='cursor'``: each chain consumes slice ``kk`` (its private
+    cursor, advanced on global coins) — the reference's sequential
+    consumption, needing one ``take_along_axis`` per pool tensor because
+    the cursor is per-chain (data-dependent rows).  Even batched, those
+    gathers are ~3-4 ms/step at 8k chains on TPU — the dominant cost of
+    the gf<1 path (``benchmarks/pooled_profile.py``; the per-chain
+    ``dynamic_slice`` formulation before it was ~20 ms/step).
 
-    def global_move(pools: Pool, logq_old, carry: AGLCarry):
+    ``cadence='slice'``: pool slice ``t`` belongs to step ``t`` and is
+    consumed only if that step's coin is global — unconsumed slices are
+    skipped.  Slices are iid draws from the same epoch proposal, so a
+    skipped slice is statistically indistinguishable from sequential
+    consumption (the argument, divergence class, and statistical bound are
+    exactly :mod:`glabc_tpu.ops.pallas.pool_isir_mixed_kernel`'s — see its
+    module docstring and ``tests/test_aglmcmc_cadence.py``).  The step
+    index is uniform across chains, so the slice fetch is a
+    ``dynamic_slice`` (no gathers) and the step body drops to
+    flow-eval + elementwise cost.
+
+    Both bodies are BATCHED over the chain axis with candidates selected
+    by a one-hot contraction.  Per-chain PRNG semantics (one ``split`` of
+    the chain key per step, ``k_move`` feeding the categorical / RW draws)
+    are unchanged."""
+    B = cfg.batch_size
+    assert cadence in ("cursor", "slice")
+
+    def global_move(pools: Pool, logq_old, carry: AGLCarry, t=None):
         keys = jax.vmap(jax.random.split)(carry.key)         # (C, 2, 2)
         key_next, k_move = keys[:, 0], keys[:, 1]
-        start = jnp.minimum(carry.kk, pool_slices - 1) * B   # (C,)
-        idx = start[:, None] + jnp.arange(B)[None, :]        # (C, B)
-        th_s = jnp.take_along_axis(pools.theta, idx[:, :, None], axis=1)
-        x_s = jnp.take_along_axis(pools.x, idx[:, :, None], axis=1)
-        dis_s = jnp.take_along_axis(pools.dis, idx, axis=1)
-        lw_s = jnp.take_along_axis(pools.log_w, idx, axis=1)
+        if cadence == "slice":
+            start = jnp.minimum(t, pool_slices - 1) * B      # scalar
+            th_s = jax.lax.dynamic_slice_in_dim(pools.theta, start, B, 1)
+            x_s = jax.lax.dynamic_slice_in_dim(pools.x, start, B, 1)
+            dis_s = jax.lax.dynamic_slice_in_dim(pools.dis, start, B, 1)
+            lw_s = jax.lax.dynamic_slice_in_dim(pools.log_w, start, B, 1)
+        else:
+            start = jnp.minimum(carry.kk, pool_slices - 1) * B   # (C,)
+            idx = start[:, None] + jnp.arange(B)[None, :]        # (C, B)
+            th_s = jnp.take_along_axis(pools.theta, idx[:, :, None], axis=1)
+            x_s = jnp.take_along_axis(pools.x, idx[:, :, None], axis=1)
+            dis_s = jnp.take_along_axis(pools.dis, idx, axis=1)
+            lw_s = jnp.take_along_axis(pools.log_w, idx, axis=1)
 
         log_w_old = (problem.prior_log_prob(carry.theta) + carry.log_kernel
                      - logq_old)                              # (C,)
@@ -265,7 +288,8 @@ _SEGMENT_CACHE_MAX = 64
 
 def make_pooled_segment(problem, local_proposal, flow_template,
                         cfg: GLMCMCNFConfig, pool_slices: int,
-                        shared_coin: bool, flow_backend: str = "xla"):
+                        shared_coin: bool, flow_backend: str = "xla",
+                        cadence: str = "cursor"):
     """Jitted ``segment(flow, pools, carry, coin_key, length)`` advancing all
     chains ``length`` steps over their pools.
 
@@ -274,15 +298,17 @@ def make_pooled_segment(problem, local_proposal, flow_template,
     vmapped ``lax.cond`` picks global/local per chain.  Shared coin: the
     coin is a scalar ``lax.cond`` — local steps skip the flow inverse.
     ``flow_backend='pallas'`` runs that per-step batched inverse through
-    the whole-stack Pallas flow kernel (chain count must tile its block)."""
+    the whole-stack Pallas flow kernel (chain count must tile its block).
+    ``cadence='slice'``: slice-per-step pool consumption (gather-free; see
+    :func:`_build_pooled_bodies`) — requires ``pool_slices >= length``."""
     del flow_template
     cache_key = (problem, _pytree_key(local_proposal), cfg, pool_slices,
-                 shared_coin, flow_backend)
+                 shared_coin, flow_backend, cadence)
     if cache_key in _SEGMENT_CACHE:
         return _SEGMENT_CACHE[cache_key]
     gf = cfg.global_frequency
     v_global, v_local = _build_pooled_bodies(
-        problem, local_proposal, cfg, pool_slices)
+        problem, local_proposal, cfg, pool_slices, cadence)
 
     if flow_backend == "pallas":
         from ..ops.pallas.flow_kernel import flow_pull_fused
@@ -299,29 +325,34 @@ def make_pooled_segment(problem, local_proposal, flow_template,
         @functools.partial(jax.jit, static_argnames=("length",))
         def segment(flow, pools, carry, coin_key, length):
             coins = jax.random.uniform(coin_key, (length,)) < gf
+            ts = jnp.arange(length, dtype=jnp.int32)
 
-            def body(c, coin):
+            def body(c, xs):
+                coin, t = xs
+
                 def g(c):
                     logq = batched_logq(flow, c.theta)
-                    return v_global(pools, logq, c)
+                    return v_global(pools, logq, c, t)
 
                 return jax.lax.cond(coin, g, v_local, c)
 
-            return jax.lax.scan(body, carry, coins)
+            return jax.lax.scan(body, carry, (coins, ts))
     else:
         @functools.partial(jax.jit, static_argnames=("length",))
         def segment(flow, pools, carry, coin_key, length):
-            def body(c, k_step):
+            def body(c, xs):
+                k_step, t = xs
                 logq = batched_logq(flow, c.theta)
                 coins = (jax.random.uniform(k_step, (c.theta.shape[0],))
                          < gf)
-                g_carry, g_out = v_global(pools, logq, c)
+                g_carry, g_out = v_global(pools, logq, c, t)
                 l_carry, l_out = v_local(c)
                 return (_select_chains(coins, g_carry, l_carry),
                         _select_chains(coins, g_out, l_out))
 
             keys = jax.random.split(coin_key, length)
-            return jax.lax.scan(body, carry, keys)
+            ts = jnp.arange(length, dtype=jnp.int32)
+            return jax.lax.scan(body, carry, (keys, ts))
 
     while len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
         _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
@@ -342,21 +373,42 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
                          weight_decay: float = 1e-5,
                          checkpoint_path: str | None = None,
                          resume: bool = False,
-                         flow_backend: str = "auto") -> NFResult:
+                         flow_backend: str = "auto",
+                         cadence: str = "cursor",
+                         collect_history: bool = True,
+                         thin: int = 1,
+                         history_dtype=None) -> NFResult:
     """GLMCMC-NF via the pooled XLA fast path (reference pool semantics).
 
     Same Markov kernel as :func:`glabc_tpu.samplers.glmcmc_nf.run_glmcmc_nf`
     (which draws fresh flow proposals per move); this path precomputes the
     reference's proposal pools per epoch and trains on them — see the module
-    docstring.  ~10-100x the per-step scan path at canonical configs."""
+    docstring.  ~10-100x the per-step scan path at canonical configs.
+
+    ``cadence='slice'`` switches pool consumption to slice-per-step (one
+    slice per transition, consumed only on global coins — gather-free; see
+    :func:`_build_pooled_bodies`): pools carry ``seg_len`` slices instead
+    of ``step_size + slack``, the training set is the full pool (``1/gf``
+    times the reference's rows, the same documented variance-reducing
+    divergence as the mixed AGLMCMC kernel), and the per-step pool fetch
+    is a uniform ``dynamic_slice`` — at gf<1 this removes the per-chain
+    cursor gathers that otherwise dominate the step (~3-4 ms/step at 8k
+    chains)."""
     from ..models.flows import CouplingFlow
 
     cfg = GLMCMCNFConfig(global_frequency, batch_size, step_size, train_steps,
                          n_layers, hidden, learning_rate, weight_decay,
                          support_retries=support_retries)
-    if pool_slack is None:
-        pool_slack = default_pool_slack(step_size, global_frequency)
-    pool_slices = step_size + pool_slack
+    assert cadence in ("cursor", "slice")
+    seg_len_pre = (max(1, int(round(step_size / global_frequency)))
+                   if global_frequency > 0 else (num_ite - 1))
+    if cadence == "slice":
+        pool_slack = seg_len_pre - step_size
+        pool_slices = seg_len_pre
+    else:
+        if pool_slack is None:
+            pool_slack = default_pool_slack(step_size, global_frequency)
+        pool_slices = step_size + pool_slack
     C = num_chains
     d = problem.theta_dim
 
@@ -377,18 +429,22 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
     train = make_pool_trainer(cfg, optimizer, C, d, max_train)
     segment = make_pooled_segment(problem, local_proposal, flow, cfg,
                                   pool_slices, shared_coin,
-                                  _flow_backend_auto(flow_backend, C))
+                                  _flow_backend_auto(flow_backend, C),
+                                  cadence)
 
-    seg_len = (max(1, int(round(step_size / global_frequency)))
-               if global_frequency > 0 else (num_ite - 1))
+    seg_len = seg_len_pre
 
     k_loop, k_pool0 = jax.random.split(k_loop)
     pools = pool_fn(flow, k_pool0)
 
-    from .aglmcmc_fused import _AsyncBlocks
+    from .aglmcmc_fused import _AsyncBlocks, _history_opts
     blocks, losses = [], []
+    thin, hist_dt = _history_opts(thin, history_dtype, on_segment)
+    if hist_dt is not None:
+        theta_init = theta_init.astype(hist_dt)
     # scan-path history is (take, C, d): unpadded, so only the transfer is
-    # deferred (no device-side slice needed)
+    # deferred (thin/dtype compression happens on device below; the
+    # ~30 MB/s tunnel is the history-on wall at canonical configs)
     async_blocks = _AsyncBlocks(d, post=lambda a: np.moveaxis(a, 0, 1))
     num_train = 0
     done, total = 0, num_ite - 1
@@ -398,7 +454,8 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
     ckpt_meta = {"sampler": "glmcmc_nf_pooled", "num_chains": C,
                  "theta_dim": d, "seg_len": seg_len,
                  "pool_slices": pool_slices, "batch_size": batch_size,
-                 "n_layers": n_layers, "hidden": hidden}
+                 "n_layers": n_layers, "hidden": hidden,
+                 "cadence": cadence}
     restored = (restore_epoch_ckpt(checkpoint_path, ckpt_meta)
                 if resume and checkpoint_path is not None else None)
     if restored is not None:
@@ -427,11 +484,20 @@ def run_glmcmc_nf_pooled(problem, key, num_ite, theta0, local_proposal,
         take = min(seg_len, total - done)
         k_loop, k_coin = jax.random.split(k_loop)
         carry, outs = segment(flow, pools, carry, k_coin, take)
-        if on_segment is not None:
+        if not collect_history:
+            pass
+        elif on_segment is not None:
             blocks.append(np.moveaxis(np.asarray(outs.theta), 0, 1))
             on_segment(blocks[-1], done)
         else:
-            async_blocks.add_raw(outs.theta)
+            dev = outs.theta
+            if thin > 1:
+                r0 = (-(done + 1)) % thin
+                dev = dev[r0::thin] if r0 < take else None
+            if dev is not None:
+                if hist_dt is not None:
+                    dev = dev.astype(hist_dt)
+                async_blocks.add_raw(dev)
         done += take
         if take == seg_len:
             if done < total:

@@ -181,10 +181,18 @@ def test_pooled_and_scan_paths_match_exact_consumption_oracle():
         global_frequency=GF, batch_size=B, step_size=STEP_SIZE,
         train_steps=TRAIN_STEPS, num_chains=C, n_layers=N_LAYERS,
         hidden=HIDDEN)
+    # slice-per-step cadence (the gf<1 fast path behind method='fused'):
+    # same bound vs the exact-consumption oracle as the cursor cadence
+    res_sl = run_glmcmc_nf_pooled(
+        PROB, jax.random.PRNGKey(3), T, jnp.zeros(2), LP,
+        global_frequency=GF, batch_size=B, step_size=STEP_SIZE,
+        train_steps=TRAIN_STEPS, num_chains=C, n_layers=N_LAYERS,
+        hidden=HIDDEN, cadence="slice")
 
     o_am, o_v = _stats(oracle_chains[:, T // 3:])
     burn = T // 3
-    for name, res in [("pooled", res_p), ("scan", res_s)]:
+    for name, res in [("pooled", res_p), ("scan", res_s),
+                      ("slice", res_sl)]:
         am, v = _stats(np.asarray(res.thetas)[:, burn:])
         np.testing.assert_allclose(am, o_am, atol=0.12, err_msg=name)
         np.testing.assert_allclose(v, o_v, atol=0.35, err_msg=name)
@@ -213,7 +221,7 @@ class TestRunnerFacade:
         assert csv.shape == (41, 2)
         np.testing.assert_allclose(csv, ch[0], rtol=1e-6, atol=1e-7)
 
-    def test_fused_method_routes_and_rejects_gf_lt_1(self, tmp_path):
+    def test_fused_method_routes_both_gf_regimes(self, tmp_path):
         from glabc_tpu import MCMCRunner
 
         runner = MCMCRunner(PROB, output_dir=str(tmp_path), num_chains=128,
@@ -224,9 +232,12 @@ class TestRunnerFacade:
                                   hidden=16, block_chains=128, seed=0,
                                   interpret=True)
         assert ch.shape == (128, 9, 2)
-        with pytest.raises(ValueError, match="global_frequency"):
-            runner.run_glmcmc_nf(9, jnp.zeros(2), None, 0.5, LP, base,
-                                 3, 4, 2, method="fused")
+        # gf < 1 routes to the slice-cadence pooled path (gather-free)
+        ch2 = runner.run_glmcmc_nf(9, jnp.zeros(2), None, 0.5, LP, base,
+                                   3, 4, 2, method="fused", n_layers=2,
+                                   hidden=16)
+        assert ch2.shape == (128, 9, 2)
+        assert np.all(np.isfinite(ch2))
 
 
 def test_gf1_pool_consumed_exactly_once_per_segment():
@@ -241,3 +252,28 @@ def test_gf1_pool_consumed_exactly_once_per_segment():
         global_frequency=1.0, batch_size=3, step_size=20,
         train_steps=TRAIN_STEPS, num_chains=4, n_layers=2, hidden=16)
     assert np.all(np.asarray(res.final_carry.kk) == 20)
+
+
+def test_pooled_history_compression_and_off():
+    """thin/history_dtype compress the pooled driver's returned history
+    (kept iterations i % k == 0, exactly full[:, ::k]); collect_history=
+    False returns only the initial row."""
+    from glabc_tpu.samplers.glmcmc_nf_fused import run_glmcmc_nf_pooled
+
+    kw = dict(global_frequency=0.5, batch_size=3, step_size=4,
+              train_steps=1, num_chains=16, n_layers=2, hidden=16,
+              cadence="slice")
+    full = run_glmcmc_nf_pooled(PROB, jax.random.PRNGKey(4), 17,
+                                jnp.zeros(2), LP, **kw)
+    thin = run_glmcmc_nf_pooled(PROB, jax.random.PRNGKey(4), 17,
+                                jnp.zeros(2), LP, thin=2,
+                                history_dtype="bfloat16", **kw)
+    assert thin.thetas.dtype == jnp.bfloat16
+    assert thin.thetas.shape == (16, 9, 2)
+    np.testing.assert_allclose(np.asarray(thin.thetas, np.float32),
+                               np.asarray(full.thetas)[:, ::2], rtol=1e-2,
+                               atol=1e-2)
+    off = run_glmcmc_nf_pooled(PROB, jax.random.PRNGKey(4), 17,
+                               jnp.zeros(2), LP, collect_history=False,
+                               **kw)
+    assert off.thetas.shape == (16, 1, 2)
