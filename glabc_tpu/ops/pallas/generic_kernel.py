@@ -143,6 +143,13 @@ class TileProgram:
     # evaluated in-kernel (PoolISIRMixed); optional for the parametric
     # GenericFusedGLMCMC path
     prior_lp: Callable | None = None
+    # y tile -> (1, C) discrepancy (the statistic whose mean/variance feed
+    # GLMALA's Gaussian synthetic likelihood, ``GLMALA.py:86-94``) — needed
+    # by GenericFusedGLMALA only
+    discrepancy: Callable | None = None
+    # theta -> (d_pad, C) grad log prior (pad rows zero) — needed by
+    # GenericFusedGLMALA (the scan path's ``problem.prior_grad``)
+    prior_grad: Callable | None = None
 
 
 class GenericFusedGLMCMC:
@@ -369,11 +376,19 @@ def mixture_tile_program(problem, *, ip_loc=0.0, ip_scale=1.0,
         per = (-0.5 * _LOG_2PI - np.log(prior_scale) - 0.5 * z * z)
         return tl.rowsum(per, d)
 
+    def discrepancy(tl, y):
+        diff = (y - tl.const_col(y_obs)) * tl.mask(d)
+        return jnp.sqrt(tl.rowsum(diff * diff, d))
+
+    def prior_grad(tl, th):
+        return (-(th - prior_loc) / ps2) * tl.mask(d)
+
     return TileProgram(theta_dim=d, y_rows=d, sample_global=sample_global,
                        simulate=simulate, log_kernel=log_kernel,
                        prior_minus_global_lp=prior_minus_global_lp,
                        prior_diff_lp=prior_diff_lp,
-                       sample_local=sample_local, prior_lp=prior_lp)
+                       sample_local=sample_local, prior_lp=prior_lp,
+                       discrepancy=discrepancy, prior_grad=prior_grad)
 
 
 def ma2_tile_program(problem, *, lp_scale=0.1) -> TileProgram:
@@ -474,8 +489,19 @@ def ma2_tile_program(problem, *, lp_scale=0.1) -> TileProgram:
         # uniform over the area-4 triangle (MA2Problem.prior_log_prob)
         return jnp.where(_inside(tl, th), float(np.log(0.25)), _NEG)
 
+    def discrepancy(tl, y):
+        diff = (y - tl.const_col(y_obs)) * tl.mask(3)
+        return jnp.sqrt(tl.rowsum(diff * diff, 3))
+
+    def prior_grad(tl, th):
+        # flat inside the triangle; the scan path's autodiff prior_grad is
+        # likewise zero a.e. (MA2Problem.prior_log_prob is where(inside,
+        # const, -inf))
+        return th * 0.0
+
     return TileProgram(theta_dim=2, y_rows=3, sample_global=sample_global,
                        simulate=simulate, log_kernel=log_kernel,
                        prior_minus_global_lp=prior_minus_global_lp,
                        prior_diff_lp=prior_diff_lp,
-                       sample_local=sample_local, prior_lp=prior_lp)
+                       sample_local=sample_local, prior_lp=prior_lp,
+                       discrepancy=discrepancy, prior_grad=prior_grad)

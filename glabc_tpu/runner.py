@@ -256,9 +256,26 @@ class MCMCRunner:
         ``method='fused'`` routes through the packed Pallas GLMALA kernel
         (Mixture-family problems, theta_dim | 8, isotropic importance
         proposal, ``num_chains`` a multiple of ``(8/d) * 512``; the CRN
-        gradient batch runs in VMEM — ~10^8 transitions/s/chip)."""
+        gradient batch runs in VMEM — ~10^8 transitions/s/chip).  With a
+        ``tile_program=`` kwarg (a :class:`TileProgram` defining
+        ``discrepancy`` and ``prior_grad``, e.g.
+        ``problem.tile_program()``), ``method='fused'`` instead runs the
+        problem-agnostic generic MALA kernel
+        (:func:`glabc_tpu.samplers.fused_program.run_glmala_program`) — the
+        importance proposal is the program's ``sample_global``."""
         writer, on_segment = self._writer(output_file, initial_theta)
-        if method == "fused":
+        if method == "fused" and kwargs.get("tile_program") is not None:
+            from .samplers.fused_program import run_glmala_program
+            prog = kwargs.pop("tile_program")
+            res = run_glmala_program(
+                self.abc_set, prog, self._next_key(key), num_iterations,
+                initial_theta, y0=initial_y,
+                global_frequency=global_frequency, batch_size=batch_size,
+                tau=tau, num_grad=num_grad, num_chains=self.num_chains,
+                on_segment=on_segment, **kwargs,
+            )
+        elif method == "fused":
+            kwargs.pop("tile_program", None)
             from .samplers.glmala_fused import run_glmala_fused
             ip_loc, ip_scale = self._isotropic(importance_proposal,
                                                "importance proposal")
