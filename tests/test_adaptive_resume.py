@@ -64,6 +64,7 @@ def _assert_resume_exact(run, num_ite, cut, tmp_path, label,
     return full, resumed
 
 
+@pytest.mark.slow
 class TestScanResume:
     def test_aglmcmc(self, tmp_path):
         def run(n, **kw):

