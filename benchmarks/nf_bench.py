@@ -94,7 +94,8 @@ def bench_pooled(C: int, epochs: int = 4, shared_coin: bool = False,
     return C * (num_ite - 1) / dt
 
 
-def bench_fused(C: int, epochs: int = 4):
+def bench_fused(C: int, epochs: int = 4, thin: int = 1,
+                history_dtype=None):
     """gf=1 pool-iSIR Pallas path, end-to-end with training + redraws."""
     from glabc_tpu import DiagGaussian, MixtureProblem
     from glabc_tpu.samplers.glmcmc_nf_fused import run_glmcmc_nf_fused
@@ -103,7 +104,8 @@ def bench_fused(C: int, epochs: int = 4):
     jax.block_until_ready(jnp.zeros(()))
     print(f"[fused C={C}] device claimed", flush=True)
     kw = dict(batch_size=5, step_size=200, train_steps=50, num_chains=C,
-              block_chains=min(C, 1024))
+              block_chains=min(C, 1024), thin=thin,
+              history_dtype=history_dtype)
     run_glmcmc_nf_fused(problem, jax.random.PRNGKey(0), 202, jnp.zeros(2),
                         **kw)
     print(f"[fused C={C}] compiled; timing {epochs} epochs", flush=True)
@@ -112,8 +114,9 @@ def bench_fused(C: int, epochs: int = 4):
     res = run_glmcmc_nf_fused(problem, jax.random.PRNGKey(1), num_ite,
                               jnp.zeros(2), **kw)
     dt = time.perf_counter() - t0
-    burn = min(200, (num_ite - 1) // 2)
-    absmean = np.abs(res.thetas[:, burn:, :].astype(np.float64)).mean((0, 1))
+    burn = min(200, (num_ite - 1) // 2) // max(1, thin)
+    absmean = np.abs(np.asarray(res.thetas[:, burn:, :],
+                                np.float64)).mean((0, 1))
     acc = float(res.counts.global_accepts.sum()
                 / max(res.counts.global_attempts.sum(), 1))
     print(f"[fused C={C}] absmean={absmean} g_acc={acc:.4f}", flush=True)
@@ -144,7 +147,8 @@ def main():
                                thin=args.thin,
                                history_dtype=args.history_dtype)
         else:
-            tps = bench_fused(C, args.epochs)
+            tps = bench_fused(C, args.epochs, thin=args.thin,
+                              history_dtype=args.history_dtype)
         print(f"mode={args.mode} chains={C} -> {tps:,.0f} transitions/s",
               flush=True)
 
