@@ -117,6 +117,7 @@ class TestDriverOracle:
     the pool packing, the kernel consumption order, the sel->y/logk resolve
     gather, and the cross-epoch log-weight rewiring."""
 
+    @pytest.mark.slow
     def test_full_driver_replay(self):
         d, B, T, C = 2, 3, 6, 128
         n_epochs = 3

@@ -20,6 +20,7 @@ def _run(args, cwd=None, timeout=420):
     )
 
 
+@pytest.mark.slow
 def test_mixture_example_glmcmc(tmp_path):
     r = _run(["examples/mixture.py", "--sampler", "glmcmc",
               "--num-ite", "300", "--chains", "2",
@@ -30,6 +31,7 @@ def test_mixture_example_glmcmc(tmp_path):
     assert csv.shape == (300, 2)
 
 
+@pytest.mark.slow
 def test_plot_example(tmp_path):
     # produce a small chain csv then plot it
     r = _run(["examples/mixture.py", "--sampler", "glmcmc",

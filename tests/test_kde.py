@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.stats
 
 from glabc_tpu.models import KernelDensity
@@ -119,6 +120,7 @@ def test_kde_jit_and_vmap():
     np.testing.assert_allclose(out[0], ref0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_log_prob_support_chunk_matches_unchunked():
     """Streamed (support_chunk) logsumexp == full-matrix path, including
     masked zero-weight rows and a chunk size that does not divide n."""

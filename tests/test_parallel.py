@@ -146,6 +146,7 @@ def test_run_glmcmc_nf_with_mesh_chain_states(mesh):
     assert np.all(np.isfinite(res.loss_hist))
 
 
+@pytest.mark.slow
 def test_run_aglmcmc_with_mesh_shared_adaptation(mesh):
     """End-to-end sharded AGLMCMC with the shared-adaptation epoch inside
     shard_map: global epsilon quantile, distributed resampling of the KDE
@@ -162,6 +163,7 @@ def test_run_aglmcmc_with_mesh_shared_adaptation(mesh):
     assert float(res.hat_eps_hist[-1]) < 1.0e6
 
 
+@pytest.mark.slow
 def test_run_aglmcmc_with_mesh_per_chain(mesh):
     """Per-chain adaptation under a mesh: elementwise over chains, no
     collectives; just verify it runs sharded and stays finite."""

@@ -47,12 +47,14 @@ class TestRunnerMethods:
                                        output_file=None)
         assert chain.shape == (120, 2)
 
+    @pytest.mark.slow
     def test_run_glmala(self, tmp_path):
         runner = _runner(tmp_path)
         chain = runner.run_glmala(80, THETA0, None, 0.8, IP, 5, 0.3, 20)
         assert chain.shape == (80, 2)
         assert os.path.exists(tmp_path / "glmala_results.csv")
 
+    @pytest.mark.slow
     def test_run_glmcmc_nf(self, tmp_path):
         runner = _runner(tmp_path)
         base = DiagGaussian.create(2)
@@ -62,6 +64,7 @@ class TestRunnerMethods:
         csv = np.loadtxt(tmp_path / "glmcmc_nf_results.csv", delimiter=",")
         assert csv.shape == (101, 2)
 
+    @pytest.mark.slow
     def test_run_aglmcmc(self, tmp_path):
         runner = _runner(tmp_path)
         chain = runner.run_aglmcmc(101, THETA0, None, 1.0, LP, IP, 5, 10,
